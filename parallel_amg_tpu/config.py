@@ -1,0 +1,85 @@
+"""Frozen, hashable config dataclasses (SURVEY.md §5 "Config / flag system").
+
+These are jit-static: pass them as static args or close over them.  All fields
+are plain Python scalars/strings so the dataclasses hash and compare by value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGConfig:
+    """AMG setup-phase configuration.
+
+    Mirrors the knobs of classical AMG implementations (Ruge-Stüben /
+    smoothed aggregation); the reference's stack exposes the same knobs
+    through AlgebraicMultigrid.jl-style APIs (SURVEY.md §2.3).
+    """
+
+    # Coarsening: "rs" = classical Ruge-Stüben (PMIS-parallel splitting),
+    # "sa" = smoothed aggregation.
+    coarsening: str = "rs"
+    # Strength-of-connection threshold θ: classical |a_ij| >= θ max_k|a_ik|.
+    theta: float = 0.25
+    # SA symmetric strength threshold: |a_ij| >= θ_sa·sqrt(|a_ii·a_jj|).
+    # 0.0 keeps every connection (the standard SA default — the classical θ
+    # scale does not transfer: e.g. 3D Poisson off-diagonals fail θ=0.25).
+    sa_theta: float = 0.0
+    # Maximum hierarchy depth (static for jit; unused levels are absent,
+    # the hierarchy is a plain Python list so depth is static per-setup).
+    max_levels: int = 12
+    # Stop coarsening once a level has at most this many rows.
+    n_coarse_max: int = 512
+    # Smoothed-aggregation prolongator damping ω in P=(I-ω D⁻¹A)T.
+    sa_omega: float = 4.0 / 3.0
+    # Jacobi damping weight.
+    jacobi_omega: float = 2.0 / 3.0
+    # Smoother: "jacobi" | "chebyshev"
+    smoother: str = "jacobi"
+    # Chebyshev polynomial degree.
+    cheb_degree: int = 3
+    # Chebyshev smoothing interval is [lambda_max/cheb_lower_bound, lambda_max].
+    cheb_lower_bound: float = 30.0
+    # Pre/post smoothing sweeps.
+    nu_pre: int = 1
+    nu_post: int = 1
+    # Cycle type: "V" | "W"
+    cycle: str = "V"
+    # RS interpolation: "extended_i" (distance-two, the scalable choice for
+    # PMIS grids — De Sterck/Yang-style) or "direct" (classical distance-one).
+    interpolation: str = "extended_i"
+    # Truncate interpolation rows to this many largest-|w| entries
+    # (rescaled to preserve row sums); bounds operator complexity and fixes
+    # the static ELL width of P on device.
+    p_max: int = 4
+    # Power-iteration steps for lambda_max estimation (Chebyshev / SA).
+    lambda_power_iters: int = 15
+    # Keep Galerkin triple products on device when True (Phase-3 on-device
+    # setup); False = host (numpy) setup path.
+    on_device_setup: bool = False
+
+    def __post_init__(self):
+        if self.coarsening not in ("rs", "sa"):
+            raise ValueError(f"coarsening must be 'rs'|'sa', got {self.coarsening}")
+        if self.smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(f"smoother must be 'jacobi'|'chebyshev', got {self.smoother}")
+        if self.cycle not in ("V", "W"):
+            raise ValueError(f"cycle must be 'V'|'W', got {self.cycle}")
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveConfig:
+    """Outer-solver configuration (standalone cycles or preconditioned CG)."""
+
+    tol: float = 1e-8
+    maxiter: int = 200
+    # Record the residual history inside the solve loop (adds one psum per
+    # iteration which the solver needs anyway for the stopping test).
+    record_history: bool = True
+
+
+DEFAULT_AMG = AMGConfig()
+DEFAULT_SOLVE = SolveConfig()

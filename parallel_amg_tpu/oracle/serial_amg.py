@@ -1,0 +1,520 @@
+"""Serial float64 numpy/scipy AMG: classical Ruge-Stüben (PMIS) and smoothed
+aggregation, with weighted-Jacobi/Chebyshev smoothing, V/W-cycles and PCG.
+
+This is the golden oracle (SURVEY.md §4.2, §4.5): a from-scratch serial
+implementation of the same algorithms the TPU framework implements on device.
+It intentionally shares no code with the JAX path.  Algorithms follow the
+textbook forms (Ruge-Stüben via parallel-friendly PMIS splitting + direct
+interpolation; Vanek-style aggregation + smoothed prolongator) so the device
+hierarchy can be compared structurally as well as by convergence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import numpy as np
+import scipy.linalg
+import scipy.sparse as sp
+
+from parallel_amg_tpu.config import AMGConfig
+
+
+# ---------------------------------------------------------------------------
+# Strength of connection
+# ---------------------------------------------------------------------------
+
+def classical_strength(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """Classical strength: keep a_ij (j≠i) with |a_ij| >= θ·max_{k≠i}|a_ik|.
+
+    Returns a boolean-pattern CSR S (data all ones) with no diagonal.
+    """
+    A = A.tocsr()
+    n = A.shape[0]
+    coo = A.tocoo()
+    offd = coo.row != coo.col
+    r, c, v = coo.row[offd], coo.col[offd], np.abs(coo.data[offd])
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, r, v)
+    keep = v >= theta * row_max[r] - 1e-300
+    keep &= v > 0
+    S = sp.csr_matrix((np.ones(keep.sum()), (r[keep], c[keep])), shape=A.shape)
+    return S
+
+
+def sa_strength(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """Symmetric SA strength: |a_ij| >= θ·sqrt(|a_ii·a_jj|), no diagonal."""
+    A = A.tocsr()
+    d = np.abs(A.diagonal())
+    coo = A.tocoo()
+    offd = coo.row != coo.col
+    r, c, v = coo.row[offd], coo.col[offd], np.abs(coo.data[offd])
+    keep = v >= theta * np.sqrt(d[r] * d[c]) - 1e-300
+    keep &= v > 0
+    S = sp.csr_matrix((np.ones(keep.sum()), (r[keep], c[keep])), shape=A.shape)
+    return S
+
+
+# ---------------------------------------------------------------------------
+# PMIS coarse/fine splitting (serial implementation of the parallel algorithm)
+# ---------------------------------------------------------------------------
+
+UNDECIDED, FINE, COARSE = 0, 1, 2
+
+
+def pmis_split(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
+    """PMIS splitting on strength graph S. Returns array of FINE/COARSE.
+
+    Measure w_i = |S^T column i| + rand[0,1); iterate: undecided local maxima
+    of w over the undecided strong neighborhood become C; undecided points
+    strongly depending on a new C point become F (so every F point has at
+    least one strong C neighbor — required by direct interpolation).
+    """
+    n = S.shape[0]
+    rng = np.random.default_rng(seed)
+    # number of points i influences = in-degree in S = column counts
+    influence = np.asarray(S.sum(axis=0)).ravel()
+    w = influence + rng.random(n)
+    state = np.full(n, UNDECIDED, dtype=np.int8)
+    # symmetrized neighbor graph for the local-max test
+    G = (S + S.T).tocsr()
+    # isolated points (no strong connections at all): make them COARSE —
+    # they carry their value to the coarse grid via identity interpolation.
+    iso = np.asarray(G.getnnz(axis=1)).ravel() == 0
+    state[iso] = COARSE
+    for _ in range(n + 1):
+        und = state == UNDECIDED
+        if not und.any():
+            break
+        # local max among undecided neighbors
+        is_max = und.copy()
+        indptr, indices = G.indptr, G.indices
+        for i in np.flatnonzero(und):
+            nbrs = indices[indptr[i] : indptr[i + 1]]
+            nbrs = nbrs[state[nbrs] == UNDECIDED]
+            if nbrs.size and w[nbrs].max() > w[i]:
+                is_max[i] = False
+        state[is_max] = COARSE
+        # F assignment: undecided with a strong C neighbor (dependence: S row)
+        und = state == UNDECIDED
+        Sr_indptr, Sr_indices = S.indptr, S.indices
+        for i in np.flatnonzero(und):
+            nbrs = Sr_indices[Sr_indptr[i] : Sr_indptr[i + 1]]
+            if (state[nbrs] == COARSE).any():
+                state[i] = FINE
+    assert (state != UNDECIDED).all(), "PMIS did not terminate"
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Classical interpolation: direct (distance-one) and extended+i (distance-two)
+# ---------------------------------------------------------------------------
+
+def truncate_P(P: sp.csr_matrix, p_max: int) -> sp.csr_matrix:
+    """Keep the p_max largest-|w| entries per row, rescaled so row sums are
+    preserved (constant-vector preservation).  Bounds operator complexity and
+    gives interpolation a static maximum row width for the device ELL view."""
+    P = P.tocsr()
+    indptr, indices, data = P.indptr, P.indices, P.data
+    new_rows, new_cols, new_vals = [], [], []
+    for i in range(P.shape[0]):
+        lo, hi = indptr[i], indptr[i + 1]
+        w = data[lo:hi]
+        c = indices[lo:hi]
+        if w.size > p_max:
+            keep = np.argsort(-np.abs(w))[:p_max]
+            total, kept = w.sum(), w[keep].sum()
+            scale = total / kept if kept != 0 else 1.0
+            w, c = w[keep] * scale, c[keep]
+        new_rows.extend([i] * len(w))
+        new_cols.extend(c)
+        new_vals.extend(w)
+    return sp.csr_matrix((new_vals, (new_rows, new_cols)), shape=P.shape)
+
+
+def extended_i_interpolation(
+    A: sp.csr_matrix, S: sp.csr_matrix, state: np.ndarray, p_max: int = 4
+) -> sp.csr_matrix:
+    """Distance-two "extended+i" interpolation (the scalable partner of PMIS
+    splitting — hypre's default pairing for parallel classical AMG).
+
+    For F-point i the interpolatory set Ĉ_i is C_i plus the strong C-points
+    of i's strong F-neighbors.  Each strong F-neighbor k's connection a_ik is
+    distributed over Ĉ_i ∪ {i} proportionally to k's same-sign couplings;
+    the m = i share and all weak couplings lump onto the diagonal.
+    """
+    A = A.tocsr()
+    n = A.shape[0]
+    cmap = -np.ones(n, dtype=np.int64)
+    coarse = np.flatnonzero(state == COARSE)
+    cmap[coarse] = np.arange(coarse.size)
+    S = S.tocsr()
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        if state[i] == COARSE:
+            rows.append(i)
+            cols.append(cmap[i])
+            vals.append(1.0)
+            continue
+        a_cols = A.indices[A.indptr[i] : A.indptr[i + 1]]
+        a_vals = A.data[A.indptr[i] : A.indptr[i + 1]]
+        s_i = set(S.indices[S.indptr[i] : S.indptr[i + 1]])
+        Fi = [j for j in s_i if state[j] != COARSE and j != i]
+        Chat = {j for j in s_i if state[j] == COARSE}
+        for k in Fi:
+            s_k = S.indices[S.indptr[k] : S.indptr[k + 1]]
+            Chat |= {m for m in s_k if state[m] == COARSE}
+        num = {j: 0.0 for j in Chat}
+        diag = 0.0
+        for j, a in zip(a_cols, a_vals):
+            if j == i:
+                diag += a
+            elif j in Chat:
+                num[j] += a
+            elif j in s_i and state[j] != COARSE:
+                pass  # strong F — distributed below
+            else:
+                diag += a  # weak lumping
+        for k, aik in zip(a_cols, a_vals):
+            if k == i or k not in s_i or state[k] == COARSE:
+                continue
+            ak_cols = A.indices[A.indptr[k] : A.indptr[k + 1]]
+            ak_vals = A.data[A.indptr[k] : A.indptr[k + 1]]
+            denom = 0.0
+            dist = []
+            for m, akm in zip(ak_cols, ak_vals):
+                if (m in Chat or m == i) and akm * aik > 0:
+                    denom += akm
+                    dist.append((m, akm))
+            if denom == 0.0:
+                diag += aik
+            else:
+                for m, akm in dist:
+                    if m == i:
+                        diag += aik * akm / denom
+                    else:
+                        num[m] += aik * akm / denom
+        for j in sorted(Chat):
+            w = -num[j] / diag
+            if w != 0.0:
+                rows.append(i)
+                cols.append(cmap[j])
+                vals.append(w)
+    P = sp.csr_matrix((vals, (rows, cols)), shape=(n, coarse.size))
+    return truncate_P(P, p_max)
+
+
+def direct_interpolation(
+    A: sp.csr_matrix, S: sp.csr_matrix, state: np.ndarray
+) -> sp.csr_matrix:
+    """Classical direct interpolation with positive/negative splitting.
+
+    For F-point i with strong coarse neighbors C_i:
+      w_ij = -(α_i·a_ij)/a_ii for a_ij<0,  -(β_i·a_ij)/a_ii for a_ij>0
+      α_i = Σ_{k∈N_i, a<0} a_ik / Σ_{j∈C_i, a<0} a_ij   (β analogous)
+    C-points interpolate identically.
+    """
+    A = A.tocsr()
+    n = A.shape[0]
+    cmap = -np.ones(n, dtype=np.int64)
+    coarse = np.flatnonzero(state == COARSE)
+    cmap[coarse] = np.arange(coarse.size)
+    nc = coarse.size
+
+    S_bool = S.tocsr()
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        if state[i] == COARSE:
+            rows.append(i)
+            cols.append(cmap[i])
+            vals.append(1.0)
+            continue
+        a_cols = A.indices[A.indptr[i] : A.indptr[i + 1]]
+        a_vals = A.data[A.indptr[i] : A.indptr[i + 1]]
+        s_cols = set(S_bool.indices[S_bool.indptr[i] : S_bool.indptr[i + 1]])
+        diag = 0.0
+        sum_n_neg = sum_n_pos = 0.0  # all neighbors
+        sum_c_neg = sum_c_pos = 0.0  # strong coarse neighbors
+        strong_c = []
+        for j, a in zip(a_cols, a_vals):
+            if j == i:
+                diag += a
+                continue
+            if a < 0:
+                sum_n_neg += a
+            else:
+                sum_n_pos += a
+            if j in s_cols and state[j] == COARSE:
+                strong_c.append((j, a))
+                if a < 0:
+                    sum_c_neg += a
+                else:
+                    sum_c_pos += a
+        if not strong_c:
+            raise RuntimeError(
+                f"F-point {i} has no strong coarse neighbor (bad splitting)"
+            )
+        alpha = sum_n_neg / sum_c_neg if sum_c_neg != 0 else 0.0
+        beta = sum_n_pos / sum_c_pos if sum_c_pos != 0 else 0.0
+        # positive weak connections with no positive strong C to absorb them:
+        # lump onto the diagonal (standard fix)
+        if sum_c_pos == 0.0:
+            diag += sum_n_pos
+        for j, a in strong_c:
+            coef = alpha if a < 0 else beta
+            w = -coef * a / diag
+            if w != 0.0:
+                rows.append(i)
+                cols.append(cmap[j])
+                vals.append(w)
+    P = sp.csr_matrix((vals, (rows, cols)), shape=(n, nc))
+    return P
+
+
+# ---------------------------------------------------------------------------
+# Smoothed aggregation
+# ---------------------------------------------------------------------------
+
+def greedy_aggregation(S: sp.csr_matrix) -> np.ndarray:
+    """Vanek-style greedy aggregation on strength graph S.
+
+    Returns agg id per node (>=0). Three passes: seed aggregates over
+    untouched neighborhoods, attach leftovers to a neighboring aggregate,
+    then singleton aggregates for anything remaining.
+    """
+    n = S.shape[0]
+    G = (S + S.T).tocsr()
+    agg = -np.ones(n, dtype=np.int64)
+    next_agg = 0
+    indptr, indices = G.indptr, G.indices
+    # pass 1
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = indices[indptr[i] : indptr[i + 1]]
+        if (agg[nbrs] >= 0).any():
+            continue
+        agg[i] = next_agg
+        agg[nbrs] = next_agg
+        next_agg += 1
+    # pass 2: attach to a neighboring aggregate
+    unassigned = np.flatnonzero(agg < 0)
+    attach = agg.copy()
+    for i in unassigned:
+        nbrs = indices[indptr[i] : indptr[i + 1]]
+        assigned = nbrs[agg[nbrs] >= 0]
+        if assigned.size:
+            attach[i] = agg[assigned[0]]
+    agg = attach
+    # pass 3: singletons
+    for i in np.flatnonzero(agg < 0):
+        agg[i] = next_agg
+        next_agg += 1
+    return agg
+
+
+def tentative_prolongator(agg: np.ndarray) -> sp.csr_matrix:
+    """Piecewise-constant tentative P with unit-norm columns (B = 1s)."""
+    n = agg.size
+    nc = int(agg.max()) + 1
+    counts = np.bincount(agg, minlength=nc).astype(np.float64)
+    vals = 1.0 / np.sqrt(counts[agg])
+    return sp.csr_matrix((vals, (np.arange(n), agg)), shape=(n, nc))
+
+
+def estimate_lambda_max(A: sp.csr_matrix, d_inv: np.ndarray, iters: int,
+                        seed: int = 0) -> float:
+    """Power iteration for λ_max(D⁻¹A), with 1.1 safety factor."""
+    rng = np.random.default_rng(seed)
+    x = rng.random(A.shape[0]) - 0.5
+    lam = 1.0
+    for _ in range(iters):
+        x = d_inv * (A @ x)
+        nrm = np.linalg.norm(x)
+        if nrm == 0:
+            break
+        lam = nrm
+        x /= nrm
+    return 1.1 * lam
+
+
+def smoothed_prolongator(
+    A: sp.csr_matrix, T: sp.csr_matrix, omega: float, lam_max: float
+) -> sp.csr_matrix:
+    """P = (I − (ω/λ_max) D⁻¹A) T."""
+    d = A.diagonal()
+    d_inv = np.where(d != 0, 1.0 / d, 0.0)
+    DA = sp.diags(d_inv) @ A
+    return (sp.identity(A.shape[0]) - (omega / lam_max) * DA) @ T
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class OracleLevel:
+    A: sp.csr_matrix
+    P: Optional[sp.csr_matrix]  # None on the coarsest level
+    R: Optional[sp.csr_matrix]
+    d_inv: np.ndarray
+    lam_max: float  # λ_max(D⁻¹A) (Chebyshev); 0 if unused
+    state: Optional[np.ndarray] = None  # C/F states (rs only)
+
+
+@dataclasses.dataclass
+class OracleHierarchy:
+    levels: List[OracleLevel]
+    coarse_lu: tuple  # scipy.linalg.lu_factor of the coarsest dense A
+    config: AMGConfig
+
+    @property
+    def grid_complexity(self) -> float:
+        return sum(l.A.shape[0] for l in self.levels) / self.levels[0].A.shape[0]
+
+    @property
+    def operator_complexity(self) -> float:
+        return sum(l.A.nnz for l in self.levels) / self.levels[0].A.nnz
+
+
+def oracle_setup(A, config: AMGConfig = AMGConfig(), seed: int = 0) -> OracleHierarchy:
+    """Build the AMG hierarchy (RS-PMIS or SA per config.coarsening)."""
+    if not sp.issparse(A):
+        A = sp.csr_matrix(A)
+    A = A.tocsr().astype(np.float64)
+    levels: List[OracleLevel] = []
+    for lvl in range(config.max_levels):
+        n = A.shape[0]
+        d = A.diagonal()
+        d_inv = np.where(d != 0, 1.0 / d, 0.0)
+        lam = (
+            estimate_lambda_max(A, d_inv, config.lambda_power_iters, seed)
+            if (config.smoother == "chebyshev" or config.coarsening == "sa")
+            else 0.0
+        )
+        if n <= config.n_coarse_max or lvl == config.max_levels - 1:
+            levels.append(OracleLevel(A, None, None, d_inv, lam))
+            break
+        if config.coarsening == "rs":
+            S = classical_strength(A, config.theta)
+            state = pmis_split(S, seed=seed + lvl)
+            if config.interpolation == "extended_i":
+                P = extended_i_interpolation(A, S, state, config.p_max)
+            else:
+                P = direct_interpolation(A, S, state)
+        else:
+            S = sa_strength(A, config.sa_theta)
+            agg = greedy_aggregation(S)
+            T = tentative_prolongator(agg)
+            P = smoothed_prolongator(A, T, config.sa_omega, lam)
+            state = None
+        if P.shape[1] >= n:  # no coarsening progress — stop
+            levels.append(OracleLevel(A, None, None, d_inv, lam))
+            break
+        R = P.T.tocsr()
+        levels.append(OracleLevel(A, P.tocsr(), R, d_inv, lam, state))
+        A = (R @ A @ P).tocsr()
+        A.sum_duplicates()
+        A.eliminate_zeros()
+    coarse_lu = scipy.linalg.lu_factor(levels[-1].A.toarray())
+    return OracleHierarchy(levels, coarse_lu, config)
+
+
+# ---------------------------------------------------------------------------
+# Smoothers & cycles
+# ---------------------------------------------------------------------------
+
+def jacobi(level: OracleLevel, x, b, omega: float, sweeps: int):
+    for _ in range(sweeps):
+        x = x + omega * level.d_inv * (b - level.A @ x)
+    return x
+
+
+def chebyshev(level: OracleLevel, x, b, degree: int, lower: float):
+    """Chebyshev smoothing on [λ_max/lower, λ_max] of D⁻¹A (3-term form)."""
+    lmax = level.lam_max
+    lmin = lmax / lower
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    d = level.d_inv * (b - level.A @ x) / theta
+    x = x + d
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * (
+            level.d_inv * (b - level.A @ x)
+        )
+        x = x + d
+        rho = rho_new
+    return x
+
+
+def _smooth(h: OracleHierarchy, lvl: int, x, b, sweeps: int):
+    level = h.levels[lvl]
+    if h.config.smoother == "chebyshev":
+        for _ in range(sweeps):
+            x = chebyshev(level, x, b, h.config.cheb_degree, h.config.cheb_lower_bound)
+        return x
+    return jacobi(level, x, b, h.config.jacobi_omega, sweeps)
+
+
+def oracle_vcycle(h: OracleHierarchy, x, b, lvl: int = 0, gamma: int | None = None):
+    """One multigrid cycle (γ=1: V, γ=2: W) at level lvl."""
+    if gamma is None:
+        gamma = 1 if h.config.cycle == "V" else 2
+    if lvl == len(h.levels) - 1:
+        return scipy.linalg.lu_solve(h.coarse_lu, b)
+    level = h.levels[lvl]
+    x = _smooth(h, lvl, x, b, h.config.nu_pre)
+    r = b - level.A @ x
+    bc = level.R @ r
+    xc = np.zeros_like(bc)
+    for _ in range(gamma):
+        xc = oracle_vcycle(h, xc, bc, lvl + 1, gamma)
+    x = x + level.P @ xc
+    x = _smooth(h, lvl, x, b, h.config.nu_post)
+    return x
+
+
+def oracle_solve(h: OracleHierarchy, b, tol: float = 1e-8, maxiter: int = 100):
+    """Standalone cycling to ||r|| <= tol·||b||; returns (x, residual_history)."""
+    x = np.zeros_like(b)
+    nb = np.linalg.norm(b)
+    hist = []
+    for _ in range(maxiter):
+        x = oracle_vcycle(h, x, b)
+        r = np.linalg.norm(b - h.levels[0].A @ x)
+        hist.append(r)
+        if r <= tol * nb:
+            break
+    return x, np.array(hist)
+
+
+def oracle_pcg(A, b, h: OracleHierarchy, tol: float = 1e-8, maxiter: int = 500):
+    """AMG-preconditioned CG; returns (x, iters, residual_history)."""
+    if not sp.issparse(A):
+        A = sp.csr_matrix(A)
+    x = np.zeros_like(b)
+    r = b - A @ x
+    nb = np.linalg.norm(b)
+    z = oracle_vcycle(h, np.zeros_like(r), r)
+    p = z.copy()
+    rz = r @ z
+    hist = [np.linalg.norm(r)]
+    for k in range(maxiter):
+        q = A @ p
+        alpha = rz / (p @ q)
+        x = x + alpha * p
+        r = r - alpha * q
+        rn = np.linalg.norm(r)
+        hist.append(rn)
+        if rn <= tol * nb:
+            return x, k + 1, np.array(hist)
+        z = oracle_vcycle(h, np.zeros_like(r), r)
+        rz_new = r @ z
+        beta = rz_new / rz
+        p = z + beta * p
+        rz = rz_new
+    return x, maxiter, np.array(hist)

@@ -1,0 +1,34 @@
+"""Test-session config: run everything on a virtual 8-device CPU mesh.
+
+This is the framework's `with_debug` analog (SURVEY.md §4.3): the identical
+shard_map programs run on N fake devices in one process, so distributed
+semantics are tested without a cluster.  Must run before jax initializes.
+"""
+
+import os
+
+# Force CPU: the harness presets JAX_PLATFORMS=axon (the TPU tunnel); tests
+# must run on the virtual device mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# f64 in tests: the numpy oracle is f64; device path is f32 — tests compare
+# with appropriate tolerances, but keep x64 available for oracle parity runs.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers the TPU plugin at interpreter start and
+# wins platform selection; override explicitly after import.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
