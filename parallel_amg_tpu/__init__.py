@@ -23,6 +23,8 @@ from parallel_amg_tpu.config import AMGConfig, SolveConfig
 from parallel_amg_tpu.ops.csr import CSR
 from parallel_amg_tpu.ops.coo import COO
 from parallel_amg_tpu.ops.ell import ELL
+from parallel_amg_tpu.amg import setup, vcycle, solve, Hierarchy
+from parallel_amg_tpu.solver import amg_pcg, amg_fgmres
 
 __all__ = [
     "AMGConfig",
@@ -30,4 +32,10 @@ __all__ = [
     "CSR",
     "COO",
     "ELL",
+    "setup",
+    "vcycle",
+    "solve",
+    "Hierarchy",
+    "amg_pcg",
+    "amg_fgmres",
 ]
