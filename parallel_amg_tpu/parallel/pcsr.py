@@ -1,0 +1,186 @@
+"""PCSR — row-partitioned sparse matrix with own/ghost split-block storage.
+
+The PSparseMatrix analog (SURVEY.md §1 L3), re-designed for TPU: each shard
+stores its row block as two padded ELL planes — the **diag block** (columns
+owned by the same shard, local indices) and the **offdiag block** (columns
+resolved through a ghost buffer filled by a static all-to-all halo plan).
+``matvec`` is one shard_map kernel per call:
+
+    send-window gather → lax.all_to_all → ghost gather → diag+offdiag SpMV
+
+which is the collective-based equivalent of the reference stack's
+Isend/Irecv ``consistent!`` exchange (SURVEY.md §2.6), expressed so XLA can
+schedule the exchange against the diag-block compute.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from parallel_amg_tpu.parallel.mesh import ROW_AXIS
+from parallel_amg_tpu.parallel.partition import (
+    Partition,
+    build_halo_plan,
+    uniform_row_partition,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+class PCSR:
+    """Distributed sparse matrix over a 1D mesh axis "rows".
+
+    Array fields all carry a leading shard axis S (sharded over the mesh);
+    static metadata rides in the pytree aux. ``shape`` is the PADDED global
+    shape (S·m_row, S·m_col) so vector code aligns without ragged handling;
+    ``true_shape`` keeps the logical dimensions.
+    """
+
+    def __init__(self, diag_cols, diag_vals, off_cols, off_vals,
+                 send_idx, recv_map, mesh, row_partition, col_partition,
+                 true_shape):
+        self.diag_cols = diag_cols  # (S, m, Wd) int32, local col ids
+        self.diag_vals = diag_vals  # (S, m, Wd)
+        self.off_cols = off_cols    # (S, m, Wo) int32, ghost slot ids
+        self.off_vals = off_vals    # (S, m, Wo)
+        self.send_idx = send_idx    # (S, S, C) int32
+        self.recv_map = recv_map    # (S, G) int32 (flat recv pos, trash=S*C)
+        self.mesh = mesh
+        self.row_partition = row_partition
+        self.col_partition = col_partition
+        self.true_shape = tuple(true_shape)
+
+    # -- pytree -----------------------------------------------------------
+    def tree_flatten(self):
+        children = (self.diag_cols, self.diag_vals, self.off_cols,
+                    self.off_vals, self.send_idx, self.recv_map)
+        aux = (self.mesh, self.row_partition, self.col_partition,
+               self.true_shape)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # -- properties -------------------------------------------------------
+    @property
+    def shape(self):
+        return (self.row_partition.n_padded, self.col_partition.n_padded)
+
+    @property
+    def n_shards(self) -> int:
+        return self.row_partition.n_shards
+
+    @property
+    def nnz(self):
+        return (jnp.sum(self.diag_vals != 0) + jnp.sum(self.off_vals != 0))
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_csr(cls, csr, mesh, col_partition: Partition | None = None,
+                 dtype=jnp.float32, pad_identity: bool = True) -> "PCSR":
+        """Partition a host CSR across the mesh (runs once, numpy).
+
+        pad_identity: give padding rows a unit diagonal (square operators —
+        keeps smoothers well-defined); False → zero rows (P/R transfers).
+        """
+        n_rows, n_cols = csr.shape
+        S = mesh.devices.size
+        row_part = uniform_row_partition(n_rows, S)
+        col_part = col_partition or uniform_row_partition(n_cols, S)
+        m, mc = row_part.rows_per_shard, col_part.rows_per_shard
+
+        indptr, indices, data = csr.indptr, csr.indices, csr.data
+        per_shard = []
+        ghost_sets = []
+        for s in range(S):
+            lo, hi = row_part.own_range(s)
+            rows = []
+            for i in range(lo, hi):
+                cols_i = indices[indptr[i]: indptr[i + 1]]
+                vals_i = data[indptr[i]: indptr[i + 1]]
+                own = col_part.owner_of(cols_i) == s
+                rows.append((cols_i[own] - s * mc, vals_i[own],
+                             cols_i[~own], vals_i[~own]))
+            # pad rows to m
+            for r in range(hi - lo, m):
+                if pad_identity and n_rows == n_cols:
+                    rows.append((np.array([r]), np.array([1.0]),
+                                 np.empty(0, np.int64), np.empty(0)))
+                else:
+                    rows.append((np.empty(0, np.int64), np.empty(0),
+                                 np.empty(0, np.int64), np.empty(0)))
+            ghost = np.unique(np.concatenate([r[2] for r in rows])) \
+                if any(len(r[2]) for r in rows) else np.empty(0, np.int64)
+            ghost_sets.append(ghost.astype(np.int64))
+            per_shard.append(rows)
+
+        plan = build_halo_plan(ghost_sets, col_part)
+        Wd = max(max(len(r[0]) for r in rows) for rows in per_shard)
+        Wo = max(max(len(r[2]) for r in rows) for rows in per_shard)
+        Wd, Wo = max(Wd, 1), max(Wo, 1)
+
+        diag_cols = np.zeros((S, m, Wd), dtype=np.int32)
+        diag_vals = np.zeros((S, m, Wd), dtype=np.float64)
+        off_cols = np.zeros((S, m, Wo), dtype=np.int32)
+        off_vals = np.zeros((S, m, Wo), dtype=np.float64)
+        for s, rows in enumerate(per_shard):
+            gslot = {int(g): k for k, g in enumerate(ghost_sets[s])}
+            for r, (dc, dv, oc, ov) in enumerate(rows):
+                diag_cols[s, r, : len(dc)] = dc
+                diag_vals[s, r, : len(dv)] = dv
+                off_cols[s, r, : len(oc)] = [gslot[int(c)] for c in oc]
+                off_vals[s, r, : len(ov)] = ov
+
+        return cls(
+            diag_cols=jnp.asarray(diag_cols),
+            diag_vals=jnp.asarray(diag_vals, dtype=dtype),
+            off_cols=jnp.asarray(off_cols),
+            off_vals=jnp.asarray(off_vals, dtype=dtype),
+            send_idx=jnp.asarray(plan.send_idx),
+            recv_map=jnp.asarray(plan.recv_map),
+            mesh=mesh,
+            row_partition=row_part,
+            col_partition=col_part,
+            true_shape=(n_rows, n_cols),
+        )
+
+    # -- distributed SpMV -------------------------------------------------
+    def matvec(self, x):
+        """y = A @ x for a global sharded x of shape (n_cols_padded,)."""
+        # Per-shard shapes inside shard_map: dc (1,m,Wd) dv (1,m,Wd)
+        # oc (1,m,Wo) ov (1,m,Wo) sidx (1,S,C) rmap (1,G) xl (mc,)
+        def body(dc, dv, oc, ov, sidx, rmap, xl):
+            dc, dv, oc, ov = dc[0], dv[0], oc[0], ov[0]
+            sidx, rmap = sidx[0], rmap[0]
+            buf = xl[sidx]  # (S, C) — send windows for every destination
+            recv = jax.lax.all_to_all(buf, ROW_AXIS, 0, 0, tiled=True)
+            gvals = jnp.concatenate(
+                [recv.reshape(-1), jnp.zeros((1,), xl.dtype)]
+            )[rmap]  # (G,)
+            y = jnp.sum(dv * xl[dc], axis=-1) + jnp.sum(ov * gvals[oc], axis=-1)
+            return y
+
+        spec1 = P(ROW_AXIS)
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(spec1, spec1, spec1, spec1, spec1, spec1, spec1),
+            out_specs=spec1,
+        )(self.diag_cols, self.diag_vals, self.off_cols, self.off_vals,
+          self.send_idx, self.recv_map, x)
+
+    def diagonal(self):
+        """Main diagonal as a global sharded vector (square matrices)."""
+        m = self.row_partition.rows_per_shard
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, self.diag_cols.shape, 1)
+        hit = (self.diag_cols == r_iota) & (self.diag_vals != 0)
+        d = jnp.sum(jnp.where(hit, self.diag_vals, 0.0), axis=-1)  # (S, m)
+        return d.reshape(-1)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
