@@ -17,12 +17,22 @@ from parallel_amg_tpu.amg import smoothers
 
 
 def coarse_solve(hierarchy, b):
-    """Dense Cholesky solve on the coarsest level (replicated)."""
+    """Dense Cholesky solve on the coarsest level (replicated).
+
+    b may be an N-D grid on the structured path — flattened for the dense
+    triangular solves (tiny level; the relayout is negligible here).
+    """
     L = hierarchy.coarse_chol
-    b32 = b.astype(L.dtype)
+    b32 = b.reshape(-1).astype(L.dtype)
     y = jax.scipy.linalg.solve_triangular(L, b32, lower=True)
     x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-    return x.astype(b.dtype)
+    return x.astype(b.dtype).reshape(b.shape)
+
+
+def _zeros_coarse(P, dtype):
+    if hasattr(P, "zeros_coarse"):
+        return P.zeros_coarse(dtype)
+    return jnp.zeros((P.shape[1],), dtype)
 
 
 def _cycle(hierarchy, lvl: int, x, b, gamma: int):
@@ -33,7 +43,7 @@ def _cycle(hierarchy, lvl: int, x, b, gamma: int):
     x = smoothers.smooth(level, x, b, cfg, cfg.nu_pre)
     r = b - level.A.matvec(x)
     bc = level.R.matvec(r)
-    xc = jnp.zeros(level.P.shape[1], dtype=b.dtype)
+    xc = _zeros_coarse(level.P, b.dtype)
     for _ in range(gamma):
         xc = _cycle(hierarchy, lvl + 1, xc, bc, gamma)
     x = x + level.P.matvec(xc)
@@ -42,9 +52,16 @@ def _cycle(hierarchy, lvl: int, x, b, gamma: int):
 
 
 def vcycle(hierarchy, x, b):
-    """One multigrid cycle (V or W per config) starting from iterate x."""
+    """One multigrid cycle (V or W per config) starting from iterate x.
+
+    Accepts user-facing 1D vectors or internal-layout grids; the result
+    matches the input layout.
+    """
     gamma = 1 if hierarchy.config.cycle == "V" else 2
-    return _cycle(hierarchy, 0, x, b, gamma)
+    xg = hierarchy.to_grid(x)
+    bg = hierarchy.to_grid(b)
+    out = _cycle(hierarchy, 0, xg, bg, gamma)
+    return out.reshape(x.shape)
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter"))
@@ -56,6 +73,8 @@ def solve(hierarchy, b, tol: float = 1e-8, maxiter: int = 100):
     """
     nb = jnp.linalg.norm(b)
     target = tol * nb
+    bg = hierarchy.to_grid(b)
+    gamma = 1 if hierarchy.config.cycle == "V" else 2
 
     def cond(carry):
         x, r_norm, k, hist = carry
@@ -63,14 +82,14 @@ def solve(hierarchy, b, tol: float = 1e-8, maxiter: int = 100):
 
     def body(carry):
         x, _, k, hist = carry
-        x = vcycle(hierarchy, x, b)
-        r_norm = jnp.linalg.norm(b - hierarchy.levels[0].A.matvec(x))
+        x = _cycle(hierarchy, 0, x, bg, gamma)
+        r_norm = jnp.linalg.norm(bg - hierarchy.levels[0].A.matvec(x))
         hist = hist.at[k].set(r_norm)
         return x, r_norm, k + 1, hist
 
-    x0 = jnp.zeros_like(b)
+    x0 = jnp.zeros_like(bg)
     hist0 = jnp.full((maxiter,), jnp.inf, dtype=b.dtype)
     x, r_norm, k, hist = jax.lax.while_loop(
         cond, body, (x0, jnp.asarray(jnp.inf, b.dtype), 0, hist0)
     )
-    return x, hist, k
+    return x.reshape(b.shape), hist, k

@@ -77,14 +77,36 @@ class Hierarchy:
         nnz = [int(np.asarray(l.A.nnz)) for l in self.levels]
         return sum(rows) / rows[0], sum(nnz) / nnz[0]
 
+    # -- structured-path shape adapters ----------------------------------
+    @property
+    def grid_dims(self):
+        """Level-0 grid dims when the hierarchy is stencil-structured."""
+        return getattr(self.levels[0].A, "dims", None)
+
+    def to_grid(self, v):
+        """User-facing 1D vector → internal layout (N-D on the structured
+        path; identity otherwise)."""
+        dims = self.grid_dims
+        if dims is not None and v.ndim == 1:
+            return v.reshape(dims)
+        return v
+
+    def from_grid(self, v):
+        """Internal layout → user-facing 1D vector."""
+        return v.reshape(-1) if v.ndim > 1 else v
+
 
 # ---------------------------------------------------------------------------
 # Setup driver
 # ---------------------------------------------------------------------------
 
 def setup(A, config: AMGConfig = AMGConfig(), dtype=jnp.float32,
-          seed: int = 0) -> Hierarchy:
+          seed: int = 0, dims=None) -> Hierarchy:
     """Build an AMG hierarchy from a host CSR (or COO/scipy) matrix.
+
+    dims: optional grid dimensions of the row space — enables the
+    structured aggregate="block" SA fast path (all-DIA hierarchy with
+    reshape-based transfers).
 
     Backend selection per ``config.on_device_setup``:
     - False → host numpy setup (oracle algorithms), frozen to device arrays.
@@ -94,16 +116,22 @@ def setup(A, config: AMGConfig = AMGConfig(), dtype=jnp.float32,
         from parallel_amg_tpu.amg.device_setup import device_setup
 
         return device_setup(A, config, dtype=dtype, seed=seed)
-    return host_setup(A, config, dtype=dtype, seed=seed)
+    return host_setup(A, config, dtype=dtype, seed=seed, dims=dims)
 
 
-def host_setup(A, config: AMGConfig, dtype=jnp.float32, seed: int = 0) -> Hierarchy:
+def host_setup(A, config: AMGConfig, dtype=jnp.float32, seed: int = 0,
+               dims=None) -> Hierarchy:
     """Host (numpy, float64) setup → static-shape device hierarchy.
 
-    Runs the serial reference algorithms (oracle module) and converts each
-    level's operators to padded ELL device arrays.  Cited against the
-    reference design's setup/solve split (SURVEY.md §1 L5/L6).
+    Runs the serial reference algorithms (oracle module), then freezes each
+    level into the fastest device representation (ops/select.py): DIA for
+    banded operators, TWELL/ELL otherwise; structured-SA levels get
+    reshape-based BlockProlongator/BlockRestrictor transfers instead of
+    sparse P/R (SURVEY.md §1 L5/L6).
     """
+    from parallel_amg_tpu.amg.transfers import BlockProlongator, BlockRestrictor
+    from parallel_amg_tpu.ops.select import best_format
+    from parallel_amg_tpu.ops.stencil import Stencil
     from parallel_amg_tpu.oracle.serial_amg import oracle_setup
 
     if isinstance(A, CSR):
@@ -112,25 +140,59 @@ def host_setup(A, config: AMGConfig, dtype=jnp.float32, seed: int = 0) -> Hierar
         A_sp = A.to_csr().to_scipy()
     else:
         A_sp = A  # assume scipy sparse / dense
-    oh = oracle_setup(A_sp, config, seed=seed)
+    oh = oracle_setup(A_sp, config, seed=seed, dims=dims)
+
+    # dims per level (structured path): level i's grid = previous cdims
+    level_dims: List = []
+    cur = tuple(dims) if dims is not None else None
+    for ol in oh.levels:
+        level_dims.append(ol.dims if ol.dims is not None else cur)
+        cur = ol.cdims if ol.cdims is not None else None
 
     levels: List[Level] = []
-    for ol in oh.levels:
-        A_ell = ELL.from_csr(CSR.from_scipy(ol.A), dtype=dtype)
-        P_ell = R_ell = None
-        if ol.P is not None:
-            P_ell = ELL.from_csr(CSR.from_scipy(ol.P), dtype=dtype)
-            R_ell = ELL.from_csr(CSR.from_scipy(ol.R), dtype=dtype)
-        levels.append(
-            Level(
-                A=A_ell,
-                P=P_ell,
-                R=R_ell,
-                d_inv=jnp.asarray(ol.d_inv, dtype=dtype),
-                lam_max=jnp.asarray(ol.lam_max, dtype=dtype),
-            )
+    n_levels = len(oh.levels)
+    for i, ol in enumerate(oh.levels):
+        structured = (
+            config.coarsening == "sa" and config.aggregate == "block"
+            and level_dims[i] is not None
         )
-    coarse_dense = jnp.asarray(oh.levels[-1].A.toarray(), dtype=jnp.float32)
+        csr_A = CSR.from_scipy(ol.A)
+        A_dev = None
+        if structured:
+            A_dev = Stencil.from_csr(csr_A, level_dims[i], dtype=dtype)
+            if A_dev is None:
+                # stencil blow-up: truncate the hierarchy here (this level
+                # becomes the dense-solved coarsest level)
+                n_levels = i + 1
+        if A_dev is None:
+            A_dev = best_format(csr_A, dtype=dtype)
+        d_inv = jnp.asarray(ol.d_inv, dtype=dtype)
+        if isinstance(A_dev, Stencil):
+            d_inv = d_inv.reshape(A_dev.dims)
+        lam = jnp.asarray(ol.lam_max, dtype=dtype)
+        P_dev = R_dev = None
+        if ol.P is not None and i + 1 < n_levels:
+            if isinstance(A_dev, Stencil) and ol.dims is not None:
+                # structured SA level: gather-free N-D reshape transfers
+                coef = jnp.asarray(
+                    config.sa_omega / max(ol.lam_max, 1e-30), dtype=dtype
+                )
+                scale = jnp.asarray(ol.agg_scale, dtype=dtype).reshape(ol.cdims)
+                P_dev = BlockProlongator(A_dev, d_inv, scale, coef,
+                                         ol.dims, ol.cdims, config.block_size)
+                R_dev = BlockRestrictor(A_dev, d_inv, scale, coef,
+                                        ol.dims, ol.cdims, config.block_size)
+            else:
+                P_dev = best_format(CSR.from_scipy(ol.P), dtype=dtype)
+                R_dev = best_format(CSR.from_scipy(ol.R), dtype=dtype)
+        levels.append(Level(A=A_dev, P=P_dev, R=R_dev, d_inv=d_inv,
+                            lam_max=lam))
+        if i + 1 == n_levels:
+            break
+    levels = levels[:n_levels]
+    coarse_dense = jnp.asarray(
+        oh.levels[n_levels - 1].A.toarray(), dtype=jnp.float32
+    )
     # SPD coarse matrix → Cholesky. Solve in f32 even when the cycle runs in
     # a lower precision (the coarse level is tiny).
     coarse_chol = jnp.linalg.cholesky(coarse_dense)

@@ -35,6 +35,18 @@ class AMGConfig:
     n_coarse_max: int = 512
     # Smoothed-aggregation prolongator damping ω in P=(I-ω D⁻¹A)T.
     sa_omega: float = 4.0 / 3.0
+    # SA aggregation scheme: "greedy" (algebraic, Vanek-style) or "block"
+    # (structured: aggregates = regular grid blocks when the problem carries
+    # grid dims — keeps every coarse operator banded/DIA, the TPU fast path).
+    aggregate: str = "greedy"
+    # Grid-block edge length for aggregate="block" (e.g. 3 → 3×3(×3)).
+    block_size: int = 3
+    # Galerkin-operator sparsification (block-SA path): drop coarse-level
+    # entries with |a_ij| < tol·max_j|a_ij| and lump them onto the diagonal
+    # (row sums preserved).  Bounds stencil growth across levels — the
+    # communication/traffic-reduction technique of PAPERS.md row 4.
+    # 0.0 disables.
+    coarse_drop_tol: float = 0.02
     # Jacobi damping weight.
     jacobi_omega: float = 2.0 / 3.0
     # Smoother: "jacobi" | "chebyshev"

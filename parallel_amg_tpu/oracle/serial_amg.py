@@ -314,6 +314,21 @@ def greedy_aggregation(S: sp.csr_matrix) -> np.ndarray:
     return agg
 
 
+def block_aggregation(dims, block: int) -> tuple:
+    """Structured aggregation: aggregates are `block`-edge grid cubes.
+
+    Returns (agg ids per node, coarse dims).  On a regular grid this keeps
+    every Galerkin coarse operator banded (DIA on device) — the TPU fast
+    path; it is standard aggregation-AMG with a geometric aggregate choice.
+    """
+    dims = tuple(int(d) for d in dims)
+    cdims = tuple(-(-d // block) for d in dims)
+    coords = np.unravel_index(np.arange(int(np.prod(dims))), dims)
+    bcoords = [c // block for c in coords]
+    agg = np.ravel_multi_index(bcoords, cdims)
+    return agg.astype(np.int64), cdims
+
+
 def tentative_prolongator(agg: np.ndarray) -> sp.csr_matrix:
     """Piecewise-constant tentative P with unit-norm columns (B = 1s)."""
     n = agg.size
@@ -321,6 +336,32 @@ def tentative_prolongator(agg: np.ndarray) -> sp.csr_matrix:
     counts = np.bincount(agg, minlength=nc).astype(np.float64)
     vals = 1.0 / np.sqrt(counts[agg])
     return sp.csr_matrix((vals, (np.arange(n), agg)), shape=(n, nc))
+
+
+def sparsify_lumped(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
+    """Drop |a_ij| < tol·max_k|a_ik| (j≠i), lumping dropped mass onto the
+    diagonal so row sums are preserved (non-Galerkin sparsification — keeps
+    the near-nullspace action of the operator while bounding stencil
+    growth; cf. PAPERS.md row 4)."""
+    if tol <= 0:
+        return A
+    A = A.tocsr()
+    n = A.shape[0]
+    coo = A.tocoo()
+    offd = coo.row != coo.col
+    absv = np.abs(coo.data)
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, coo.row[offd], absv[offd])
+    drop = offd & (absv < tol * row_max[coo.row])
+    lump = np.zeros(n)
+    np.add.at(lump, coo.row[drop], coo.data[drop])
+    keep = ~drop
+    out = sp.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A.shape
+    )
+    out = out + sp.diags(lump)
+    out.sum_duplicates()
+    return out.tocsr()
 
 
 def estimate_lambda_max(A: sp.csr_matrix, d_inv: np.ndarray, iters: int,
@@ -361,6 +402,10 @@ class OracleLevel:
     d_inv: np.ndarray
     lam_max: float  # λ_max(D⁻¹A) (Chebyshev); 0 if unused
     state: Optional[np.ndarray] = None  # C/F states (rs only)
+    # structured-aggregation metadata (aggregate="block" levels only):
+    dims: Optional[tuple] = None   # fine grid dims of this level
+    cdims: Optional[tuple] = None  # coarse grid dims after aggregation
+    agg_scale: Optional[np.ndarray] = None  # 1/sqrt(|aggregate|) per coarse id
 
 
 @dataclasses.dataclass
@@ -378,8 +423,13 @@ class OracleHierarchy:
         return sum(l.A.nnz for l in self.levels) / self.levels[0].A.nnz
 
 
-def oracle_setup(A, config: AMGConfig = AMGConfig(), seed: int = 0) -> OracleHierarchy:
-    """Build the AMG hierarchy (RS-PMIS or SA per config.coarsening)."""
+def oracle_setup(A, config: AMGConfig = AMGConfig(), seed: int = 0,
+                 dims=None) -> OracleHierarchy:
+    """Build the AMG hierarchy (RS-PMIS or SA per config.coarsening).
+
+    dims: optional grid dimensions of the row space — enables the
+    structured aggregate="block" SA path (kept per level while valid).
+    """
     if not sp.issparse(A):
         A = sp.csr_matrix(A)
     A = A.tocsr().astype(np.float64)
@@ -396,6 +446,7 @@ def oracle_setup(A, config: AMGConfig = AMGConfig(), seed: int = 0) -> OracleHie
         if n <= config.n_coarse_max or lvl == config.max_levels - 1:
             levels.append(OracleLevel(A, None, None, d_inv, lam))
             break
+        lvl_dims = lvl_cdims = agg_scale = None
         if config.coarsening == "rs":
             S = classical_strength(A, config.theta)
             state = pmis_split(S, seed=seed + lvl)
@@ -404,19 +455,31 @@ def oracle_setup(A, config: AMGConfig = AMGConfig(), seed: int = 0) -> OracleHie
             else:
                 P = direct_interpolation(A, S, state)
         else:
-            S = sa_strength(A, config.sa_theta)
-            agg = greedy_aggregation(S)
+            state = None
+            if config.aggregate == "block" and dims is not None:
+                agg, cdims = block_aggregation(dims, config.block_size)
+                lvl_dims, lvl_cdims = tuple(dims), tuple(cdims)
+                counts = np.bincount(agg, minlength=int(np.prod(cdims)))
+                agg_scale = 1.0 / np.sqrt(np.maximum(counts, 1))
+                dims = cdims  # next level's fine dims
+            else:
+                S = sa_strength(A, config.sa_theta)
+                agg = greedy_aggregation(S)
+                dims = None
             T = tentative_prolongator(agg)
             P = smoothed_prolongator(A, T, config.sa_omega, lam)
-            state = None
         if P.shape[1] >= n:  # no coarsening progress — stop
             levels.append(OracleLevel(A, None, None, d_inv, lam))
             break
         R = P.T.tocsr()
-        levels.append(OracleLevel(A, P.tocsr(), R, d_inv, lam, state))
+        levels.append(OracleLevel(A, P.tocsr(), R, d_inv, lam, state,
+                                  lvl_dims, lvl_cdims, agg_scale))
         A = (R @ A @ P).tocsr()
         A.sum_duplicates()
         A.eliminate_zeros()
+        if config.coarsening == "sa" and config.aggregate == "block" \
+                and lvl_dims is not None:
+            A = sparsify_lumped(A, config.coarse_drop_tol)
     coarse_lu = scipy.linalg.lu_factor(levels[-1].A.toarray())
     return OracleHierarchy(levels, coarse_lu, config)
 

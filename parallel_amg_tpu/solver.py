@@ -28,20 +28,42 @@ def amg_pcg(A, hierarchy: Hierarchy, b, tol: float = 1e-8,
 
     A and hierarchy are pytree arguments (no matrix constants baked into the
     compiled program); the preconditioner is one multigrid cycle per CG
-    iteration.
+    iteration.  On the structured (stencil) path the whole CG runs in N-D
+    grid layout — conversion happens once at entry/exit.
     """
-    def M(r):
-        return vcycle(hierarchy, jnp.zeros_like(r), r)
+    from parallel_amg_tpu.amg.cycle import _cycle
 
-    return cg(A.matvec, b, M=M, tol=tol, maxiter=maxiter)
+    gamma = 1 if hierarchy.config.cycle == "V" else 2
+    bg = hierarchy.to_grid(b)
+
+    def M(r):
+        return _cycle(hierarchy, 0, jnp.zeros_like(r), r, gamma)
+
+    res = cg(A.matvec, bg, M=M, tol=tol, maxiter=maxiter)
+    return res._replace(x=res.x.reshape(b.shape))
 
 
 @partial(jax.jit, static_argnames=("tol", "restart", "max_restarts"))
 def amg_fgmres(A, hierarchy: Hierarchy, b, tol: float = 1e-8,
                restart: int = 30, max_restarts: int = 50) -> GMRESResult:
-    """AMG-preconditioned flexible GMRES (non-symmetric operators)."""
-    def M(r):
-        return vcycle(hierarchy, jnp.zeros_like(r), r)
+    """AMG-preconditioned flexible GMRES (non-symmetric operators).
 
-    return fgmres(A.matvec, b, M=M, tol=tol, restart=restart,
+    GMRES stacks basis vectors, so it runs in flat 1D layout; the stencil
+    path pays one reshape per operator application here (CG is the
+    structured flagship)."""
+    dims = hierarchy.grid_dims
+
+    if dims is None:
+        A_mv = A.matvec
+
+        def M(r):
+            return vcycle(hierarchy, jnp.zeros_like(r), r)
+    else:
+        def A_mv(v):
+            return A.matvec(v.reshape(dims)).reshape(-1)
+
+        def M(r):
+            return vcycle(hierarchy, jnp.zeros_like(r), r)
+
+    return fgmres(A_mv, b, M=M, tol=tol, restart=restart,
                   max_restarts=max_restarts)
