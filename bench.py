@@ -1,17 +1,24 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: SpMV effective bandwidth on 3D Poisson (the BW-bound hot op,
-BASELINE.json:2,5), with vs_baseline = fraction of the measured memcpy
-speed-of-light on this chip (target ≥ 0.80 per BASELINE.json:5).
+Headline: fine-level SpMV throughput (Gnnz/s) on 3D Poisson 128³ in the
+flagship Stencil (ND-DIA) format, vs_baseline = achieved fraction of the
+memcpy-derived speed-of-light rate for this operator's traffic
+(BASELINE.json:5 target: ≥ 0.80).
 
-Timing methodology: the TPU here sits behind a high-latency tunnel
-(~27 ms round trip) and ``block_until_ready`` does not synchronize, so every
-measurement chains k on-device iterations inside one jitted ``fori_loop``
-and reports the marginal time (t(k2)-t(k1))/(k2-k1), synchronized by
-fetching a scalar output.
+Also measured (stderr + bench_details.json): V-cycle time and CG iteration
+count for the structured block-SA solver at 128³ (acceptance config #3
+scale) with ON-DEVICE setup, and the RS path on 2D Poisson (config #2
+shape).
 
-Details (per-op GB/s, nnz/s, V-cycle time, CG iters) go to stderr and
-bench_details.json.
+Timing methodology: the TPU sits behind a ~27 ms round-trip tunnel and
+``block_until_ready`` does not synchronize, so every measurement chains k
+on-device iterations inside one jitted ``fori_loop`` (operands as jit args —
+closure capture would upload the hierarchy as constants) and reports the
+marginal time between two window sizes, synchronized by a scalar fetch.
+
+Setup caching: the on-device setup is compile-bound through the remote
+tunnel, so the hierarchy is checkpointed to disk (utils/checkpoint.py) and
+reused across bench runs; setup_s reports the fresh-build time when it runs.
 """
 
 from __future__ import annotations
@@ -22,9 +29,10 @@ import sys
 import time
 from functools import partial
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-
 import numpy as np
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
 
 
 def log(*args):
@@ -32,13 +40,7 @@ def log(*args):
 
 
 def marginal_time(step, x0, *args, min_window_s=0.05, reps=3):
-    """Median marginal per-iteration wall time of x <- step(x, *args).
-
-    Chains k iterations in one jitted fori_loop (operands as jit ARGS, never
-    closure constants - a captured hierarchy would upload gigabytes through
-    the remote-compile tunnel).  k is chosen adaptively so the measured
-    (k2-k1) window is >= min_window_s, dominating the ~1-2 ms tunnel jitter.
-    """
+    """Median marginal per-iteration wall time of x <- step(x, *args)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +53,6 @@ def marginal_time(step, x0, *args, min_window_s=0.05, reps=3):
     def once(k):
         return float(run(x0, args, k))
 
-    # rough rate estimate
     once(2)
     t0 = time.perf_counter(); once(2)
     t_round = time.perf_counter() - t0
@@ -81,25 +82,22 @@ def measure_memcpy_bw(n_bytes=1 << 30):
 
 
 def bench_spmv(nx=128):
-    """Fine-level SpMV in the selected device format (DIA for the stencil)."""
+    """Headline: fine-level stencil SpMV at nx³ (the BW-bound hot op)."""
     import jax.numpy as jnp
 
-    from parallel_amg_tpu.problems import poisson3d
-    from parallel_amg_tpu.ops.select import best_format
+    from parallel_amg_tpu.problems.stencil_problems import poisson_stencil
 
-    log(f"building 3D Poisson {nx}^3 ...")
-    A = poisson3d(nx).to_csr()
-    n, nnz = A.n_rows, A.nnz
-    op = best_format(A)
-    x = jnp.ones((n,), jnp.float32)
-    # normalized iteration keeps values bounded; the scale fuses into the op
-    t = marginal_time(lambda v, o: o.matvec(v) * 0.083333, x, op)
-    d = getattr(op, "n_diags", 8)
-    bytes_moved = d * n * 4 + 2 * n * 4  # stored planes + x + y
+    st = poisson_stencil((nx, nx, nx))
+    n = st.n
+    nnz = int(np.asarray(st.nnz))
+    x = jnp.ones((nx, nx, nx), jnp.float32)
+    t = marginal_time(lambda v, op: op.matvec(v) * 0.0833, x, st)
+    bytes_moved = st.n_points * n * 4 + 2 * n * 4  # planes + x + y
     return {
         "n": n,
         "nnz": nnz,
-        "format": type(op).__name__,
+        "format": "Stencil",
+        "n_points": st.n_points,
         "time_s": t,
         "gbps": bytes_moved / t / 1e9,
         "gnnz_s": nnz / t / 1e9,
@@ -107,27 +105,36 @@ def bench_spmv(nx=128):
 
 
 def bench_amg(nx=128):
-    """Acceptance config #3 at scale: 3D Poisson nx^3, structured block-SA,
-    Chebyshev smoothing (BASELINE.json:9) - host setup, jitted device solve."""
-    import numpy as np
+    """Acceptance config #3 at scale: 3D Poisson nx³, structured block-SA,
+    Chebyshev, ON-DEVICE setup (BASELINE.json:9) — hierarchy disk-cached."""
+    import jax
     import jax.numpy as jnp
 
     import parallel_amg_tpu as pat
-    from parallel_amg_tpu.problems import poisson3d
+    from parallel_amg_tpu.problems.stencil_problems import poisson_stencil
+    from parallel_amg_tpu.utils.checkpoint import load_hierarchy, save_hierarchy
 
-    log(f"AMG setup 3D Poisson {nx}^3 (structured SA) ...")
-    t0 = time.perf_counter()
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    cache = os.path.join(CACHE_DIR, f"h_sa3d_{nx}.pkl")
     cfg = pat.AMGConfig(coarsening="sa", aggregate="block", block_size=2,
-                        smoother="chebyshev", n_coarse_max=512)
-    h = pat.setup(poisson3d(nx).to_csr(), cfg, dims=(nx, nx, nx))
-    setup_s = time.perf_counter() - t0
+                        smoother="chebyshev", n_coarse_max=512,
+                        on_device_setup=True)
+    setup_s = None
+    if os.path.exists(cache):
+        log(f"loading cached hierarchy {cache}")
+        h = load_hierarchy(cache)
+    else:
+        log(f"on-device AMG setup 3D Poisson {nx}^3 (structured SA) ...")
+        t0 = time.perf_counter()
+        h = pat.setup(poisson_stencil((nx, nx, nx)), cfg)
+        jax.block_until_ready(h.coarse_chol)
+        setup_s = time.perf_counter() - t0
+        save_hierarchy(cache, h)
     n = h.levels[0].A.n_rows
-    log(f"  levels: {[l.A.shape[0] for l in h.levels]} "
-        f"formats: {[type(l.A).__name__ for l in h.levels]} "
-        f"setup {setup_s:.1f}s")
-    # grid-native RHS: the structured path runs N-D end-to-end
+    log(f"  levels: {[l.A.n_rows for l in h.levels]} "
+        f"points: {[l.A.n_points for l in h.levels]}")
     b = jnp.asarray(np.random.default_rng(0).normal(size=n),
-                    jnp.float32).reshape(h.grid_dims or (n,))
+                    jnp.float32).reshape(h.grid_dims)
     t_cycle = marginal_time(lambda x, hh, bb: pat.vcycle(hh, x, bb),
                             jnp.zeros_like(b), h, b)
     res = pat.amg_pcg(h.levels[0].A, h, b, tol=1e-6, maxiter=100)
@@ -143,9 +150,8 @@ def bench_amg(nx=128):
 
 
 def bench_amg_rs(nx=96):
-    """Acceptance config #2 shape: 2D Poisson, RS + ext+i, PCG (small scale -
-    the RS host setup is the serial oracle; on-device setup lands later)."""
-    import numpy as np
+    """Acceptance config #2 shape: 2D Poisson, RS + ext+i, PCG (small scale —
+    the RS host setup is the serial oracle; on-device RS setup lands next)."""
     import jax.numpy as jnp
 
     import parallel_amg_tpu as pat
@@ -193,12 +199,17 @@ def main():
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 
+    # headline: achieved SpMV rate vs the speed-of-light rate for this
+    # operator's traffic model (sol_bw / bytes-per-nnz); values > 1 mean XLA
+    # fused below the naive traffic model
+    bytes_per_nnz = (spmv["n_points"] * spmv["n"] * 4 + 2 * spmv["n"] * 4) \
+        / spmv["nnz"]
+    sol_gnnz = sol_bw / 1e9 / bytes_per_nnz
     headline = {
-        "metric": "spmv_bandwidth_3d_poisson_128",
-        "value": round(spmv["gbps"], 2),
-        "unit": "GB/s",
-        # fraction of measured speed-of-light (target ≥ 0.8)
-        "vs_baseline": round(spmv["gbps"] / (sol_bw / 1e9), 4),
+        "metric": "spmv_gnnz_per_s_3d_poisson_128_stencil",
+        "value": round(spmv["gnnz_s"], 2),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(spmv["gnnz_s"] / sol_gnnz, 4),
     }
     print(json.dumps(headline))
 

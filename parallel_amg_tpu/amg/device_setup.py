@@ -1,0 +1,219 @@
+"""On-device AMG setup — structured block-SA path (SURVEY.md §7 Phase 3).
+
+The spec mandates setup-phase SpGEMM and coarsening on device
+(BASELINE.json:5).  On regular grids the whole setup pipeline reduces to
+stencil algebra, executed as N-D array ops on the accelerator:
+
+- tentative aggregation: pure index arithmetic (block partition) — its only
+  data artifact is the aggregate-size normalization, computed by sum-pooling
+  a ones-field;
+- prolongator smoothing S = I − (ω/λ)D⁻¹A: plane scaling + identity add;
+- Galerkin product A_c = Tᵀ (S A S) T: two closed-form stencil products
+  (ops/stencil.py matmul) followed by a residue-class pooled reduction —
+  for each fine offset o and block residue rp, positions p ≡ rp contribute
+  to the single coarse offset floor((rp+o)/b), so the reduction is b^d
+  strided slices + adds per plane (no gathers, no sparse SpGEMM);
+- λ_max(D⁻¹A): device power iteration;
+- sparsification with diagonal lumping, then host-side pruning of all-zero
+  planes (one tiny sync per level).
+
+The host only orchestrates shapes; every O(n) operation runs on device.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_amg_tpu.amg.hierarchy import Hierarchy, Level
+from parallel_amg_tpu.amg.transfers import (
+    BlockProlongator,
+    BlockRestrictor,
+    downsample_sum_nd,
+)
+from parallel_amg_tpu.config import AMGConfig
+from parallel_amg_tpu.ops.stencil import Stencil
+
+
+def _shift_field(f, s, dims):
+    """field[p + s] with zero fill outside the grid."""
+    pads = [(max(0, -s[i]), max(0, s[i])) for i in range(len(dims))]
+    fp = jnp.pad(f, pads)
+    start = tuple(max(0, s[i]) for i in range(len(dims)))
+    return jax.lax.dynamic_slice(fp, start, dims)
+
+
+def power_iteration_lambda_max(A: Stencil, d_inv, iters: int, seed: int = 0):
+    """λ_max(D⁻¹A) estimate on device (1.1 safety factor, as the oracle)."""
+    key = jax.random.PRNGKey(seed)
+    x0 = jax.random.uniform(key, A.dims, A.weights.dtype) - 0.5
+
+    def body(i, carry):
+        x, lam = carry
+        y = d_inv * A.matvec(x)
+        nrm = jnp.linalg.norm(y)
+        lam = jnp.where(nrm > 0, nrm, lam)
+        x = y / jnp.maximum(nrm, 1e-30)
+        return x, lam
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (x0, jnp.asarray(1.0, x0.dtype)))
+    return 1.1 * lam
+
+
+def smoothing_operator(A: Stencil, d_inv, coef) -> Stencil:
+    """S = I − coef·D⁻¹A as a stencil (the prolongator smoother)."""
+    planes = -coef * d_inv[None] * A.weights
+    S = Stencil(planes, A.offsets, A.dims)
+    eye = Stencil(jnp.ones((1,) + A.dims, A.weights.dtype),
+                  (tuple(0 for _ in A.dims),), A.dims)
+    return eye.add(S)
+
+
+def smoothing_operator_T(A: Stencil, d_inv, coef) -> Stencil:
+    """Sᵀ = I − coef·A·D⁻¹ (A symmetric) — the restriction-side factor."""
+    SA = A.scale_cols(d_inv)
+    S = Stencil(-coef * SA.weights, SA.offsets, SA.dims)
+    eye = Stencil(jnp.ones((1,) + A.dims, A.weights.dtype),
+                  (tuple(0 for _ in A.dims),), A.dims)
+    return eye.add(S)
+
+
+def galerkin_block(M: Stencil, cdims, block: int, scale) -> Stencil:
+    """A_c = Tᵀ M T for normalized block-injection T (scale = 1/√|agg|).
+
+    Residue-class pooled reduction, batched for compile time: per block
+    residue rp ONE strided slice extracts all D planes at once, and the
+    fine-offset → coarse-offset bucketing (O = floor((rp+o)/b) per axis) is
+    a static one-hot matmul.  b^d slices + b^d matmuls total.
+    """
+    nd = len(M.dims)
+    b = block
+    D = M.n_points
+    fpad = tuple(cdims[i] * b for i in range(nd))
+    Wp = jnp.pad(
+        M.weights,
+        [(0, 0)] + [(0, fpad[i] - M.dims[i]) for i in range(nd)],
+    )
+    out_offs = sorted({
+        tuple((rp[i] + o[i]) // b for i in range(nd))
+        for o in M.offsets
+        for rp in itertools.product(range(b), repeat=nd)
+    })
+    oidx = {o: i for i, o in enumerate(out_offs)}
+    n_out = len(out_offs)
+    nc = int(np.prod(cdims))
+    acc = jnp.zeros((n_out, nc), M.weights.dtype)
+    for rp in itertools.product(range(b), repeat=nd):
+        piece = jax.lax.slice(
+            Wp, (0,) + rp, (D,) + fpad, (1,) + (b,) * nd
+        ).reshape(D, nc)
+        onehot = np.zeros((n_out, D), np.float32)
+        for d, o in enumerate(M.offsets):
+            onehot[oidx[tuple((rp[i] + o[i]) // b for i in range(nd))], d] = 1.0
+        acc = acc + jnp.asarray(onehot, M.weights.dtype) @ piece
+    planes = acc.reshape((n_out,) + tuple(cdims))
+    # tentative normalization: row and (offset-shifted) column scales
+    col_scales = jnp.stack(
+        [_shift_field(scale, o, cdims) for o in out_offs]
+    )
+    planes = planes * scale[None] * col_scales
+    return Stencil(planes, tuple(out_offs), cdims)
+
+
+def sparsify_stencil(A: Stencil, tol: float) -> Stencil:
+    """Drop |w| < tol·rowmax off-diagonal entries, lump onto the diagonal
+    (device analog of oracle.sparsify_lumped)."""
+    if tol <= 0:
+        return A
+    zero = tuple(0 for _ in A.dims)
+    d_idx = A.offsets.index(zero)
+    offd = jnp.ones((A.n_points,), bool).at[d_idx].set(False)
+    absw = jnp.abs(A.weights)
+    rowmax = jnp.max(jnp.where(offd[:, None].reshape((-1,) + (1,) * len(A.dims)),
+                               absw, 0.0), axis=0)
+    drop = (absw < tol * rowmax[None]) & offd.reshape((-1,) + (1,) * len(A.dims))
+    lump = jnp.sum(jnp.where(drop, A.weights, 0.0), axis=0)
+    W = jnp.where(drop, 0.0, A.weights)
+    W = W.at[d_idx].add(lump)
+    return Stencil(W, A.offsets, A.dims)
+
+
+def _prune_zero_planes(A: Stencil) -> Stencil:
+    """Drop all-zero offset planes (host sync of a tiny norm vector)."""
+    norms = np.asarray(jnp.sum(jnp.abs(A.weights), axis=tuple(
+        range(1, 1 + len(A.dims)))))
+    keep = norms > 0
+    zero = tuple(0 for _ in A.dims)
+    keep[A.offsets.index(zero)] = True  # always keep the diagonal
+    if keep.all():
+        return A
+    return A.prune(keep.tolist())
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("config", "seed"))
+def _coarsest_step(A: Stencil, config: AMGConfig, seed: int):
+    diag = A.diagonal()
+    d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+    lam = power_iteration_lambda_max(A, d_inv, config.lambda_power_iters, seed)
+    return d_inv, lam
+
+
+@partial(jax.jit, static_argnames=("config", "seed", "cdims"))
+def _level_step(A: Stencil, config: AMGConfig, seed: int, cdims):
+    """One whole setup level as a single XLA program (static stencil
+    offsets ride in the pytree aux, so per-level shapes compile once)."""
+    b = config.block_size
+    diag = A.diagonal()
+    d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+    lam = power_iteration_lambda_max(A, d_inv, config.lambda_power_iters, seed)
+    counts = downsample_sum_nd(jnp.ones(A.dims, A.weights.dtype), cdims, b)
+    scale = 1.0 / jnp.sqrt(jnp.maximum(counts, 1.0))
+    coef = config.sa_omega / jnp.maximum(lam, 1e-30)
+    S = smoothing_operator(A, d_inv, coef)
+    St = smoothing_operator_T(A, d_inv, coef)
+    M = St.matmul(A.matmul(S))  # (I − cAD⁻¹) A (I − cD⁻¹A)
+    A_c = galerkin_block(M, cdims, b, scale)
+    A_c = sparsify_stencil(A_c, config.coarse_drop_tol)
+    return d_inv, lam, scale, coef, A_c
+
+
+def device_structured_setup(A: Stencil, config: AMGConfig,
+                            dtype=jnp.float32, seed: int = 0) -> Hierarchy:
+    """All-device block-SA setup from a fine-level Stencil operator.
+
+    The host loop only decides shapes and prunes zero planes (one tiny sync
+    per level); all O(n) work is in one jitted program per level.
+    """
+    assert config.coarsening == "sa" and config.aggregate == "block", (
+        "device_structured_setup implements the structured block-SA path; "
+        "use host_setup for the algebraic configurations"
+    )
+    b = config.block_size
+    A = Stencil(A.weights.astype(dtype), A.offsets, A.dims)
+    levels: List[Level] = []
+    for lvl in range(config.max_levels):
+        if A.n <= config.n_coarse_max or lvl == config.max_levels - 1:
+            d_inv, lam = _coarsest_step(A, config, seed)
+            levels.append(Level(A, None, None, d_inv, lam))
+            break
+        dims = A.dims
+        cdims = tuple(-(-d // b) for d in dims)
+        d_inv, lam, scale, coef, A_c = _level_step(A, config, seed, cdims)
+        A_c = _prune_zero_planes(A_c)
+        P_dev = BlockProlongator(A, d_inv, scale, coef, dims, cdims, b)
+        R_dev = BlockRestrictor(A, d_inv, scale, coef, dims, cdims, b)
+        levels.append(Level(A, P_dev, R_dev, d_inv, lam))
+        A = A_c
+    # dense coarse factorization (tiny — assembled via host round-trip)
+    coarse_dense = jnp.asarray(
+        levels[-1].A.to_csr().to_dense(), dtype=jnp.float32
+    )
+    coarse_chol = jnp.linalg.cholesky(coarse_dense)
+    return Hierarchy(levels, coarse_chol, config)

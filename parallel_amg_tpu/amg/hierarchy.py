@@ -113,9 +113,27 @@ def setup(A, config: AMGConfig = AMGConfig(), dtype=jnp.float32,
     - True  → on-device jnp setup (amg.device_setup).
     """
     if config.on_device_setup:
-        from parallel_amg_tpu.amg.device_setup import device_setup
+        from parallel_amg_tpu.amg.device_setup import device_structured_setup
+        from parallel_amg_tpu.ops.stencil import Stencil
 
-        return device_setup(A, config, dtype=dtype, seed=seed)
+        if isinstance(A, Stencil):
+            return device_structured_setup(A, config, dtype=dtype, seed=seed)
+        if (dims is not None and config.coarsening == "sa"
+                and config.aggregate == "block"):
+            if isinstance(A, CSR):
+                csr = A
+            elif hasattr(A, "to_csr"):
+                csr = A.to_csr()
+            else:
+                csr = CSR.from_scipy(A)
+            st = Stencil.from_csr(csr, dims, dtype=dtype)
+            if st is None:
+                raise ValueError("matrix is not stencil-structured on dims")
+            return device_structured_setup(st, config, dtype=dtype, seed=seed)
+        raise NotImplementedError(
+            "on_device_setup currently covers the structured block-SA path; "
+            "algebraic RS/SA setup runs on host (host_setup)"
+        )
     return host_setup(A, config, dtype=dtype, seed=seed, dims=dims)
 
 

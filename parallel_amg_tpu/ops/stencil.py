@@ -138,3 +138,83 @@ class Stencil:
 
     def __matmul__(self, x):
         return self.matvec(x)
+
+    # -- stencil algebra (on-device setup path) ----------------------------
+    def shifted_plane(self, d, off):
+        """weights[d] translated by `off`: value that row p+off sees from
+        plane d of this operator (zeros shifted in at the boundary)."""
+        pads = [(max(0, off[i]), max(0, -off[i])) for i in range(len(self.dims))]
+        wp = jnp.pad(self.weights[d], pads)
+        start = tuple(max(0, -off[i]) for i in range(len(self.dims)))
+        return jax.lax.dynamic_slice(wp, start, self.dims)
+
+    def scale_rows(self, s):
+        """diag(s) @ A — elementwise row scaling of every plane."""
+        return Stencil(self.weights * s[None], self.offsets, self.dims)
+
+    def scale_cols(self, s):
+        """A @ diag(s): plane d scales by s shifted by its offset."""
+        planes = []
+        for d, off in enumerate(self.offsets):
+            pads = [(max(0, -off[i]), max(0, off[i]))
+                    for i in range(len(self.dims))]
+            sp = jnp.pad(s, pads)
+            start = tuple(max(0, off[i]) for i in range(len(self.dims)))
+            s_shift = jax.lax.dynamic_slice(sp, start, self.dims)
+            planes.append(self.weights[d] * s_shift)
+        return Stencil(jnp.stack(planes), self.offsets, self.dims)
+
+    def add(self, other, alpha=1.0):
+        """A + alpha·B for stencils on the same grid (offset union)."""
+        offs = sorted(set(self.offsets) | set(other.offsets))
+        planes = []
+        for o in offs:
+            w = jnp.zeros(self.dims, self.weights.dtype)
+            if o in self.offsets:
+                w = w + self.weights[self.offsets.index(o)]
+            if o in other.offsets:
+                w = w + alpha * other.weights[other.offsets.index(o)]
+            planes.append(w)
+        return Stencil(jnp.stack(planes), tuple(offs), self.dims)
+
+    def matmul(self, other: "Stencil") -> "Stencil":
+        """C = A @ B in closed form: C[o1+o2](p) = Σ A[o1](p)·B[o2](p+o1).
+
+        Pure N-D shifts + FMA — the stencil-structured SpGEMM that replaces
+        the reference stack's general sparse×sparse in the Galerkin setup
+        (SURVEY.md §2.2 SpGEMM, §7 hard-part 1) on regular grids.
+
+        Batched form (compile-time friendly): per A-offset, ALL B planes are
+        shifted in one pad+slice, and the offset bucketing is a static
+        one-hot matmul (MXU) instead of D_A·D_B separate adds.
+        """
+        nd = len(self.dims)
+        DB = other.n_points
+        out_offs = sorted({
+            tuple(o1[i] + o2[i] for i in range(nd))
+            for o1 in self.offsets for o2 in other.offsets
+        })
+        oidx = {o: i for i, o in enumerate(out_offs)}
+        n_out = len(out_offs)
+        n = int(np.prod(self.dims))
+        acc = jnp.zeros((n_out, n), self.weights.dtype)
+        for d1, o1 in enumerate(self.offsets):
+            # shift all B planes: shifted[d2][p] = B[o2[d2]](p + o1)
+            pads = [(0, 0)] + [(max(0, -o1[i]), max(0, o1[i]))
+                               for i in range(nd)]
+            wp = jnp.pad(other.weights, pads)
+            start = (0,) + tuple(max(0, o1[i]) for i in range(nd))
+            shifted = jax.lax.dynamic_slice(wp, start, (DB,) + self.dims)
+            terms = (self.weights[d1][None] * shifted).reshape(DB, n)
+            onehot = np.zeros((n_out, DB), np.float32)
+            for d2, o2 in enumerate(other.offsets):
+                onehot[oidx[tuple(o1[i] + o2[i] for i in range(nd))], d2] = 1.0
+            acc = acc + jnp.asarray(onehot, self.weights.dtype) @ terms
+        return Stencil(acc.reshape((n_out,) + self.dims), tuple(out_offs),
+                       self.dims)
+
+    def prune(self, keep_mask):
+        """Host-driven plane pruning: keep_mask is a static bool sequence."""
+        keep = [d for d, k in enumerate(keep_mask) if k]
+        return Stencil(self.weights[jnp.asarray(keep)],
+                       tuple(self.offsets[d] for d in keep), self.dims)
