@@ -1,0 +1,295 @@
+"""On-device classical (Ruge-Stüben) AMG setup — the algebraic path.
+
+Mandated by BASELINE.json:5 ("Setup-phase SpGEMM and coarse/fine splitting
+run on-device").  All O(n)/O(nnz) work is jnp over ELL planes:
+
+- classical strength: rowwise max + mask (no comm);
+- PMIS splitting: Luby-style independent-set rounds in a ``lax.while_loop``
+  over the symmetrized strength graph (the parallel-RS algorithm hypre uses
+  — SURVEY.md §2.3), with random weights from the device PRNG;
+- interpolation: direct (distance-one, positive/negative split) built as
+  padded ELL planes, optionally Jacobi-smoothed (P ← (I−ωD⁻¹A)P) and
+  truncated to the p_max largest entries per row via ``lax.top_k``;
+- Galerkin: R = ell_transpose(P), A_c = (R·A)·P via the ESC ell_spgemm.
+
+The host orchestrates level shapes (one width sync per product) — the same
+setup/solve split as the structured path.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_amg_tpu.amg.hierarchy import Hierarchy, Level
+from parallel_amg_tpu.config import AMGConfig
+from parallel_amg_tpu.ops.ell import ELL
+from parallel_amg_tpu.ops.ell_setup import ell_prune, ell_spgemm, ell_transpose
+
+UNDECIDED, FINE, COARSE = 0, 1, 2
+
+
+def classical_strength_mask(A: ELL, theta: float):
+    """(R, W) bool strong-connection mask: |a_ij| ≥ θ·max_{k≠i}|a_ik|."""
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, A.cols.shape, 0)
+    offd = A.mask() & (A.cols != r_iota)
+    absa = jnp.where(offd, jnp.abs(A.vals), 0.0)
+    rowmax = jnp.max(absa, axis=1)
+    return offd & (absa >= theta * rowmax[:, None]) & (absa > 0)
+
+
+def pmis_split_device(A: ELL, S, seed: int = 0, max_rounds: int = 64):
+    """PMIS C/F splitting on device. Returns (n,) int32 of FINE/COARSE."""
+    n = A.n_rows
+    cols = A.cols
+    # influence counts |S^T_i| via scatter-sum over columns
+    influence = jax.ops.segment_sum(
+        S.astype(jnp.float32).reshape(-1), cols.reshape(-1), num_segments=n
+    )
+    key = jax.random.PRNGKey(seed)
+    w = influence + jax.random.uniform(key, (n,))
+
+    # transpose pattern of S for the symmetrized local-max test
+    S_ell = ELL(cols, S.astype(jnp.float32), A.row_nnz, (n, n))
+    # restrict row_nnz to actual strong entries? keep mask via vals!=0
+    St = ell_transpose(S_ell)
+    St_mask = St.mask() & (St.vals != 0)
+
+    # isolated points (no strong connections either way) → COARSE
+    has_out = jnp.any(S, axis=1)
+    has_in = jax.ops.segment_sum(
+        S.astype(jnp.int32).reshape(-1), cols.reshape(-1), num_segments=n
+    ) > 0
+    state0 = jnp.where(has_out | has_in, UNDECIDED, COARSE).astype(jnp.int32)
+
+    def round_body(carry):
+        state, k = carry
+        und = state == UNDECIDED
+        # max undecided-neighbor weight over S rows
+        w_j = jnp.take(w, cols, axis=0)
+        und_j = jnp.take(und, cols, axis=0)
+        m1 = jnp.max(jnp.where(S & und_j, w_j, -1.0), axis=1)
+        # ... and over S^T rows
+        wt_j = jnp.take(w, St.cols, axis=0)
+        undt_j = jnp.take(und, St.cols, axis=0)
+        m2 = jnp.max(jnp.where(St_mask & undt_j, wt_j, -1.0), axis=1)
+        is_max = und & (w > jnp.maximum(m1, m2))
+        state = jnp.where(is_max, COARSE, state)
+        # undecided points that strongly depend on a COARSE point → FINE
+        st_j = jnp.take(state, cols, axis=0)
+        dep_c = jnp.any(S & (st_j == COARSE), axis=1)
+        state = jnp.where((state == UNDECIDED) & dep_c, FINE, state)
+        return state, k + 1
+
+    def cond(carry):
+        state, k = carry
+        return jnp.any(state == UNDECIDED) & (k < max_rounds)
+
+    state, _ = jax.lax.while_loop(cond, round_body, (state0, 0))
+    # safety: anything still undecided becomes COARSE (cannot happen for
+    # max_rounds >= O(log n), but keeps the result well-defined)
+    return jnp.where(state == UNDECIDED, COARSE, state).astype(jnp.int32)
+
+
+def direct_interpolation_device(A: ELL, S, state, p_max: int):
+    """Classical direct interpolation as a device ELL (width = p_max).
+
+    C rows carry the identity; F rows distribute over strong C neighbors
+    with the positive/negative split (matches oracle.direct_interpolation).
+    """
+    n = A.n_rows
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, A.cols.shape, 0)
+    offd = A.mask() & (A.cols != r_iota)
+    a = jnp.where(A.mask(), A.vals, 0.0)
+    st_j = jnp.take(state, A.cols, axis=0)
+    strong_c = S & (st_j == COARSE)
+
+    neg = offd & (a < 0)
+    pos = offd & (a > 0)
+    sum_n_neg = jnp.sum(jnp.where(neg, a, 0.0), axis=1)
+    sum_n_pos = jnp.sum(jnp.where(pos, a, 0.0), axis=1)
+    sum_c_neg = jnp.sum(jnp.where(strong_c & neg, a, 0.0), axis=1)
+    sum_c_pos = jnp.sum(jnp.where(strong_c & pos, a, 0.0), axis=1)
+    diag = jnp.sum(jnp.where(A.cols == r_iota, a, 0.0), axis=1)
+    diag = diag + jnp.where(sum_c_pos == 0.0, sum_n_pos, 0.0)
+    alpha = jnp.where(sum_c_neg != 0, sum_n_neg / jnp.where(sum_c_neg == 0, 1, sum_c_neg), 0.0)
+    beta = jnp.where(sum_c_pos != 0, sum_n_pos / jnp.where(sum_c_pos == 0, 1, sum_c_pos), 0.0)
+    coef = jnp.where(a < 0, alpha[:, None], beta[:, None])
+    wts = jnp.where(strong_c, -coef * a / diag[:, None], 0.0)
+
+    cmap = jnp.cumsum((state == COARSE).astype(jnp.int32)) - 1
+    nc = int(cmap[-1]) + 1  # host sync
+    pcols_full = jnp.where(strong_c, jnp.take(cmap, A.cols, axis=0), 0)
+
+    # compact strong-C entries to the front of each row, keep top p_max |w|
+    k = min(p_max, wts.shape[1])
+    topv, topi = jax.lax.top_k(jnp.abs(jnp.where(strong_c, wts, 0.0)), k)
+    pv = jnp.take_along_axis(wts, topi, axis=1)
+    pc = jnp.take_along_axis(pcols_full, topi, axis=1)
+    kept = topv > 0
+    # rescale kept weights so row sums are preserved
+    total = jnp.sum(wts, axis=1)
+    keptsum = jnp.sum(jnp.where(kept, pv, 0.0), axis=1)
+    scale = jnp.where(keptsum != 0, total / jnp.where(keptsum == 0, 1, keptsum), 1.0)
+    pv = jnp.where(kept, pv * scale[:, None], 0.0)
+    pc = jnp.where(kept, pc, 0)
+    row_nnz = jnp.sum(kept, axis=1).astype(jnp.int32)
+
+    # overwrite C rows with identity
+    is_c = state == COARSE
+    pv = jnp.where(is_c[:, None],
+                   jnp.concatenate([jnp.ones((n, 1), pv.dtype),
+                                    jnp.zeros((n, k - 1), pv.dtype)], axis=1),
+                   pv)
+    pc = jnp.where(is_c[:, None],
+                   jnp.concatenate([cmap[:, None],
+                                    jnp.zeros((n, k - 1), jnp.int32)], axis=1),
+                   pc)
+    row_nnz = jnp.where(is_c, 1, row_nnz)
+    return ELL(pc.astype(jnp.int32), pv, row_nnz, (n, nc))
+
+
+def smooth_interpolation(A: ELL, P: ELL, omega: float, p_max: int) -> ELL:
+    """P ← (I − ω D⁻¹A) P, truncated to p_max entries/row (row sums kept).
+
+    The Jacobi interpolation-improvement that recovers most of the
+    extended+i quality on PMIS grids with one ESC SpGEMM.
+    """
+    d = A.diagonal()
+    d_inv = jnp.where(d != 0, 1.0 / d, 0.0)
+    DA = ELL(A.cols, -omega * d_inv[:, None] * A.vals, A.row_nnz, A.shape)
+    AP = ell_spgemm(DA, P)
+    # P + AP (aligned add via spgemm with identity is wasteful; do ESC merge)
+    n = A.n_rows
+    eye = ELL(
+        jnp.arange(n, dtype=jnp.int32)[:, None],
+        jnp.ones((n, 1), P.vals.dtype),
+        jnp.ones((n,), jnp.int32),
+        (n, n),
+    )
+    P2 = ell_spgemm(eye, P)  # re-compacted copy of P (same layout domain)
+    merged = _ell_add(P2, AP)
+    return _ell_topk(merged, p_max)
+
+
+def _ell_add(X: ELL, Y: ELL) -> ELL:
+    """X + Y for ELLs with identical shape (ESC merge)."""
+    n, nc = X.shape
+    cols = jnp.concatenate([X.cols, Y.cols], axis=1)
+    vals = jnp.concatenate([
+        jnp.where(X.mask(), X.vals, 0.0),
+        jnp.where(Y.mask(), Y.vals, 0.0),
+    ], axis=1)
+    valid = jnp.concatenate([X.mask(), Y.mask()], axis=1)
+    merged = ELL(jnp.where(valid, cols, 0), jnp.where(valid, vals, 0.0),
+                 jnp.sum(valid, axis=1).astype(jnp.int32), (n, nc))
+    # route through spgemm-style compaction: sort+dedup
+    R, K = merged.cols.shape
+    SENT = jnp.int32(nc)
+    key = jnp.where(valid, cols, SENT)
+    order = jnp.argsort(key, axis=1, stable=True)
+    cols_s = jnp.take_along_axis(key, order, axis=1)
+    vals_s = jnp.take_along_axis(vals, order, axis=1)
+    vals_s = jnp.where(cols_s < SENT, vals_s, 0.0)
+    is_first = jnp.concatenate(
+        [jnp.ones((R, 1), bool), cols_s[:, 1:] != cols_s[:, :-1]], axis=1
+    ) & (cols_s < SENT)
+    pos = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1
+    row_nnz = jnp.where(is_first.any(axis=1), pos[:, -1] + 1, 0)
+    width = max(int(jnp.max(row_nnz)), 1)
+    pos_c = jnp.clip(pos, 0, width - 1)
+    flat = (jnp.arange(R)[:, None] * width + pos_c).reshape(-1)
+    ovals = jax.ops.segment_sum(vals_s.reshape(-1), flat,
+                                num_segments=R * width).reshape(R, width)
+    ocols = jax.ops.segment_max(
+        (jnp.where(is_first, cols_s, 0)).reshape(-1) * is_first.reshape(-1),
+        flat, num_segments=R * width).reshape(R, width)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (R, width), 1)
+    pad = w_iota >= row_nnz[:, None]
+    return ELL(jnp.where(pad, 0, ocols).astype(jnp.int32),
+               jnp.where(pad, 0.0, ovals),
+               row_nnz.astype(jnp.int32), (n, nc))
+
+
+def _ell_topk(P: ELL, p_max: int) -> ELL:
+    """Keep the p_max largest-|v| entries per row, rescaled to preserve
+    row sums (device analog of oracle.truncate_P)."""
+    k = min(p_max, P.cols.shape[1])
+    absv = jnp.where(P.mask(), jnp.abs(P.vals), 0.0)
+    topv, topi = jax.lax.top_k(absv, k)
+    pv = jnp.take_along_axis(P.vals, topi, axis=1)
+    pc = jnp.take_along_axis(P.cols, topi, axis=1)
+    kept = topv > 0
+    total = jnp.sum(jnp.where(P.mask(), P.vals, 0.0), axis=1)
+    keptsum = jnp.sum(jnp.where(kept, pv, 0.0), axis=1)
+    scale = jnp.where(keptsum != 0,
+                      total / jnp.where(keptsum == 0, 1, keptsum), 1.0)
+    pv = jnp.where(kept, pv * scale[:, None], 0.0)
+    return ELL(jnp.where(kept, pc, 0).astype(jnp.int32), pv,
+               jnp.sum(kept, axis=1).astype(jnp.int32), P.shape)
+
+
+def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
+                    seed: int = 0) -> Hierarchy:
+    """On-device classical-AMG setup from a device ELL (or host CSR)."""
+    from parallel_amg_tpu.ops.csr import CSR
+
+    if isinstance(A, ELL):
+        A_ell = A
+    else:
+        csr = A if isinstance(A, CSR) else CSR.from_scipy(
+            A.to_csr().to_scipy() if hasattr(A, "to_csr") else A
+        )
+        A_ell = ELL.from_csr(csr, dtype=dtype)
+
+    levels: List[Level] = []
+    for lvl in range(config.max_levels):
+        n = A_ell.n_rows
+        diag = A_ell.diagonal()
+        d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+        lam = jnp.asarray(0.0, dtype)
+        if config.smoother == "chebyshev":
+            lam = _ell_lambda_max(A_ell, d_inv, config.lambda_power_iters,
+                                  seed)
+        if n <= config.n_coarse_max or lvl == config.max_levels - 1:
+            levels.append(Level(A_ell, None, None, d_inv, lam))
+            break
+        S = classical_strength_mask(A_ell, config.theta)
+        state = pmis_split_device(A_ell, S, seed=seed + lvl)
+        P = direct_interpolation_device(A_ell, S, state, config.p_max * 2)
+        if config.interpolation != "direct":
+            P = smooth_interpolation(A_ell, P, config.jacobi_omega,
+                                     config.p_max)
+        if P.shape[1] >= n:
+            levels.append(Level(A_ell, None, None, d_inv, lam))
+            break
+        R = ell_transpose(P)
+        RA = ell_spgemm(R, A_ell)
+        A_c = ell_spgemm(RA, P)
+        A_c = ell_prune(A_c, tol=0.0)
+        levels.append(Level(A_ell, P, R, d_inv, lam))
+        A_ell = A_c
+    coarse_dense = jnp.asarray(
+        levels[-1].A.to_csr().to_dense(), dtype=jnp.float32
+    )
+    coarse_chol = jnp.linalg.cholesky(coarse_dense)
+    return Hierarchy(levels, coarse_chol, config)
+
+
+def _ell_lambda_max(A: ELL, d_inv, iters: int, seed: int = 0):
+    key = jax.random.PRNGKey(seed)
+    x0 = jax.random.uniform(key, (A.n_rows,), A.vals.dtype) - 0.5
+
+    def body(i, carry):
+        x, lam = carry
+        y = d_inv * A.matvec(x)
+        nrm = jnp.linalg.norm(y)
+        lam = jnp.where(nrm > 0, nrm, lam)
+        return y / jnp.maximum(nrm, 1e-30), lam
+
+    _, lam = jax.lax.fori_loop(0, iters, body,
+                               (x0, jnp.asarray(1.0, x0.dtype)))
+    return 1.1 * lam

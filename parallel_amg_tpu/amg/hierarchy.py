@@ -130,9 +130,13 @@ def setup(A, config: AMGConfig = AMGConfig(), dtype=jnp.float32,
             if st is None:
                 raise ValueError("matrix is not stencil-structured on dims")
             return device_structured_setup(st, config, dtype=dtype, seed=seed)
+        if config.coarsening == "rs":
+            from parallel_amg_tpu.amg.device_rs import device_rs_setup
+
+            return device_rs_setup(A, config, dtype=dtype, seed=seed)
         raise NotImplementedError(
-            "on_device_setup currently covers the structured block-SA path; "
-            "algebraic RS/SA setup runs on host (host_setup)"
+            "on_device_setup covers the structured block-SA path and the "
+            "classical RS path; algebraic greedy-SA setup runs on host"
         )
     return host_setup(A, config, dtype=dtype, seed=seed, dims=dims)
 

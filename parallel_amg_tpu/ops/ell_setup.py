@@ -1,0 +1,141 @@
+"""Device ELL setup kernels: transpose and SpGEMM (SURVEY.md §2.2).
+
+These run in the setup phase (once per level), so sort/scatter-based
+formulations are acceptable; shapes are resolved dynamically between ops by
+the host orchestration (eager dispatch) while each op itself is static.
+
+- ``ell_transpose``: sort entries by column, rank within column via a
+  segmented scan, scatter into the transposed planes.
+- ``ell_spgemm``: expand-sort-compress (ESC): candidate products
+  B.cols[A.cols] (R, Wa·Wb), per-row sort by column, segmented duplicate
+  sum, compact to the true output width — the static-shape answer to
+  SURVEY.md §7 hard-part 1 (sparse×sparse with data-dependent fill-in).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_amg_tpu.ops.ell import ELL
+
+
+def _rank_within_groups(sorted_keys):
+    """For a sorted 1D key array: rank of each element within its run."""
+    n = sorted_keys.shape[0]
+    idx = jnp.arange(n)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_first, idx, 0)
+    )
+    return idx - group_start
+
+
+def ell_transpose(ell: ELL, out_width: int | None = None) -> ELL:
+    """Aᵀ in ELL, on device (one host sync for the output width)."""
+    R, W = ell.cols.shape
+    n_rows, n_cols = ell.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0).reshape(-1)
+    cols = ell.cols.reshape(-1)
+    vals = ell.vals.reshape(-1)
+    valid = ell.mask().reshape(-1)
+    key = jnp.where(valid, cols, n_cols)  # invalid entries sort last
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+    rank = _rank_within_groups(key_s)
+    if out_width is None:
+        col_counts = jax.ops.segment_sum(
+            valid.astype(jnp.int32), cols, num_segments=n_cols
+        )
+        out_width = max(int(jnp.max(col_counts)), 1)  # host sync
+    # +1 trash row: invalid entries scatter there instead of clobbering (0,0)
+    t_cols = jnp.zeros((n_cols + 1, out_width), jnp.int32)
+    t_vals = jnp.zeros((n_cols + 1, out_width), ell.vals.dtype)
+    ok = key_s < n_cols
+    dest_c = jnp.where(ok, key_s, n_cols)
+    dest_r = jnp.where(ok, jnp.minimum(rank, out_width - 1), 0)
+    src_rows = rows[order]
+    src_vals = jnp.where(ok, vals[order], 0.0)
+    t_cols = t_cols.at[dest_c, dest_r].set(jnp.where(ok, src_rows, 0))
+    t_vals = t_vals.at[dest_c, dest_r].add(src_vals)
+    t_cols = t_cols[:n_cols]
+    t_vals = t_vals[:n_cols]
+    t_nnz = jax.ops.segment_sum(
+        valid.astype(jnp.int32), cols, num_segments=n_cols
+    )
+    return ELL(t_cols, t_vals, t_nnz.astype(jnp.int32), (n_cols, n_rows))
+
+
+def ell_spgemm(A: ELL, B: ELL, out_width: int | None = None) -> ELL:
+    """C = A @ B in ELL via expand-sort-compress (device; one host sync
+    for the output width unless provided)."""
+    R, Wa = A.cols.shape
+    Wb = B.cols.shape[1]
+    n_cols_out = B.shape[1]
+    K = Wa * Wb
+    SENT = jnp.int32(n_cols_out)
+
+    brows_cols = jnp.take(B.cols, A.cols, axis=0)  # (R, Wa, Wb)
+    brows_vals = jnp.take(B.vals, A.cols, axis=0)
+    brows_mask = jnp.take(B.mask(), A.cols, axis=0)
+    cand_vals = (A.vals[:, :, None] * brows_vals).reshape(R, K)
+    valid = (A.mask()[:, :, None] & brows_mask).reshape(R, K)
+    cand_cols = jnp.where(valid, brows_cols.reshape(R, K), SENT)
+
+    order = jnp.argsort(cand_cols, axis=1, stable=True)
+    cols_s = jnp.take_along_axis(cand_cols, order, axis=1)
+    vals_s = jnp.take_along_axis(cand_vals, order, axis=1)
+    vals_s = jnp.where(cols_s < SENT, vals_s, 0.0)
+
+    is_first = jnp.concatenate(
+        [jnp.ones((R, 1), bool), cols_s[:, 1:] != cols_s[:, :-1]], axis=1
+    )
+    is_first = is_first & (cols_s < SENT)
+    pos = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # (R, K)
+    row_nnz = jnp.maximum(pos[:, -1] + 1, 0) * (is_first.any(axis=1))
+    row_nnz = jnp.where(is_first.any(axis=1), pos[:, -1] + 1, 0)
+    if out_width is None:
+        out_width = max(int(jnp.max(row_nnz)), 1)  # host sync
+    pos_c = jnp.clip(pos, 0, out_width - 1)
+    flat_ids = (jnp.arange(R)[:, None] * out_width + pos_c).reshape(-1)
+    c_vals = jax.ops.segment_sum(
+        vals_s.reshape(-1), flat_ids, num_segments=R * out_width
+    ).reshape(R, out_width)
+    col_write = jnp.where(is_first, cols_s, 0)
+    c_cols = jax.ops.segment_max(
+        col_write.reshape(-1) * is_first.reshape(-1),
+        flat_ids, num_segments=R * out_width,
+    ).reshape(R, out_width)
+    # zero out padding slots
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (R, out_width), 1)
+    pad = w_iota >= row_nnz[:, None]
+    c_cols = jnp.where(pad, 0, c_cols).astype(jnp.int32)
+    c_vals = jnp.where(pad, 0.0, c_vals)
+    return ELL(c_cols, c_vals, row_nnz.astype(jnp.int32),
+               (R, n_cols_out))
+
+
+def ell_prune(ell: ELL, tol: float = 0.0, out_width: int | None = None) -> ELL:
+    """Drop |v| <= tol entries and re-compact rows (device)."""
+    keep = ell.mask() & (jnp.abs(ell.vals) > tol)
+    R, W = ell.cols.shape
+    key = jnp.where(keep, ell.cols, ell.shape[1])
+    order = jnp.argsort(key, axis=1, stable=True)
+    cols_s = jnp.take_along_axis(key, order, axis=1)
+    vals_s = jnp.take_along_axis(ell.vals, order, axis=1)
+    row_nnz = jnp.sum(keep, axis=1).astype(jnp.int32)
+    if out_width is None:
+        out_width = max(int(jnp.max(row_nnz)), 1)
+    cols_o = cols_s[:, :out_width]
+    vals_o = vals_s[:, :out_width]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (R, out_width), 1)
+    pad = w_iota >= row_nnz[:, None]
+    return ELL(
+        jnp.where(pad, 0, cols_o).astype(jnp.int32),
+        jnp.where(pad, 0.0, vals_o),
+        row_nnz,
+        ell.shape,
+    )
