@@ -1,0 +1,76 @@
+"""Roofline accounting: per-format traffic models and achieved-bandwidth
+reports (SURVEY.md §5 "Tracing / profiling"; BASELINE.json:5 "profiled
+against speed-of-light memory-bandwidth bounds").
+
+Traffic models (bytes per SpMV, f32):
+- Stencil/DIA: D·n·4 (weight planes) + 2·n·4 (x, y)
+- ELL:         n·W·8 (cols+vals planes) + 2·n·4
+- TWELL:       T·(wg·slots·R·5) (vals f32 + idx int8) + T·wg·WIN·8·4 (x
+               slabs, 8-way replicated) + 2·n·4
+- BSR:         nblk·bs²·4 + nblk·4 + 2·n·4
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class RooflineReport:
+    op: str
+    n: int
+    nnz: int
+    bytes_model: int
+    time_s: float
+    achieved_gbps: float
+    achieved_gnnz_s: float
+    sol_gbps: float
+    sol_fraction: float
+
+    def row(self) -> str:
+        return (f"{self.op:28s} n={self.n:>12,} nnz={self.nnz:>14,} "
+                f"{self.time_s*1e6:9.1f} µs {self.achieved_gbps:8.1f} GB/s "
+                f"{self.achieved_gnnz_s:7.2f} Gnnz/s "
+                f"{100*self.sol_fraction:6.1f}% of SoL")
+
+
+def spmv_bytes(op) -> int:
+    """Traffic model for one matvec of the given operator."""
+    name = type(op).__name__
+    if name in ("Stencil", "ShardedStencil"):
+        n = int(np.prod(op.dims))
+        return op.n_points * n * 4 + 2 * n * 4
+    if name == "DIA":
+        return op.n_diags * op.n_rows * 4 + 2 * op.n_rows * 4
+    if name == "ELL":
+        r, w = op.cols.shape
+        return r * w * 8 + 2 * op.n_rows * 4
+    if name == "TWELL":
+        t = op.n_pieces
+        plane = op.wg * op.slots * 128
+        return t * (plane * 5 + op.wg * 128 * 8 * 4) + 2 * op.n_rows * 4
+    if name == "BSR":
+        nblk = op.n_block_rows * op.width
+        return nblk * (op.bs ** 2 * 4 + 4) + 2 * op.n_rows * 4
+    raise ValueError(f"no traffic model for {name}")
+
+
+def report(op, time_s: float, sol_gbps: float, label: str | None = None
+           ) -> RooflineReport:
+    b = spmv_bytes(op)
+    nnz = int(np.asarray(op.nnz))
+    n = op.n_rows if hasattr(op, "n_rows") else int(np.prod(op.dims))
+    gbps = b / time_s / 1e9
+    return RooflineReport(
+        op=label or type(op).__name__,
+        n=n,
+        nnz=nnz,
+        bytes_model=b,
+        time_s=time_s,
+        achieved_gbps=gbps,
+        achieved_gnnz_s=nnz / time_s / 1e9,
+        sol_gbps=sol_gbps,
+        sol_fraction=gbps / sol_gbps if sol_gbps else 0.0,
+    )
