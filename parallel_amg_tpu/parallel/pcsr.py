@@ -174,6 +174,112 @@ class PCSR:
         )(self.diag_cols, self.diag_vals, self.off_cols, self.off_vals,
           self.send_idx, self.recv_map, x)
 
+    # -- ghost exchange primitives (the consistent!/assemble! analogs) ----
+    def consistent(self, x):
+        """Fetch ghost values of x for every shard — the reference stack's
+        ``consistent!`` (SURVEY.md §2.1).  Returns a (S, G) global array
+        (sharded on axis 0): row s holds shard s's ghost buffer."""
+        def body(sidx, rmap, xl):
+            sidx, rmap = sidx[0], rmap[0]
+            buf = xl[sidx]
+            recv = jax.lax.all_to_all(buf, ROW_AXIS, 0, 0, tiled=True)
+            gvals = jnp.concatenate(
+                [recv.reshape(-1), jnp.zeros((1,), xl.dtype)]
+            )[rmap]
+            return gvals[None]
+
+        spec = P(ROW_AXIS)
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(spec, spec, spec),
+            out_specs=spec,
+        )(self.send_idx, self.recv_map, x)
+
+    def assemble(self, ghost_vals, y=None):
+        """Reverse exchange — the ``assemble!`` owner-reduce (SURVEY.md
+        §2.1): each shard's ghost-slot accumulations (S, G) are routed back
+        through the halo plan and added at their owners.  Returns the
+        (n_cols_padded,) sharded owner-sum (added onto y when given)."""
+        C = self.send_idx.shape[2]
+        S = self.n_shards
+        mc = self.col_partition.rows_per_shard
+
+        def body(sidx, rmap, gv, yl):
+            sidx, rmap, gv = sidx[0], rmap[0], gv[0]
+            # scatter ghost values into the (S*C)+trash send-back buffer
+            buf = jnp.zeros((S * C + 1,), gv.dtype).at[rmap].add(gv)
+            buf = buf[: S * C].reshape(S, C)
+            recv = jax.lax.all_to_all(buf, ROW_AXIS, 0, 0, tiled=True)
+            # recv[src, j] adds at local index send_idx[self, src, j];
+            # padded slots carry zeros so a plain segment-sum is safe
+            add = jax.ops.segment_sum(
+                recv.reshape(-1), sidx.reshape(-1), num_segments=mc
+            )
+            return yl + add
+
+        spec = P(ROW_AXIS)
+        y0 = y if y is not None else jnp.zeros(
+            (self.col_partition.n_padded,), ghost_vals.dtype
+        )
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(spec, spec, spec, spec),
+            out_specs=spec,
+        )(self.send_idx, self.recv_map, ghost_vals, y0)
+
+    # -- host round-trip and repartitioning --------------------------------
+    def to_csr(self):
+        """Reconstruct the global host CSR (strips padding)."""
+        from parallel_amg_tpu.ops.coo import COO
+
+        S = self.n_shards
+        m = self.row_partition.rows_per_shard
+        mc = self.col_partition.rows_per_shard
+        n_rows, n_cols = self.true_shape
+        dc = np.asarray(self.diag_cols)
+        dv = np.asarray(self.diag_vals)
+        oc = np.asarray(self.off_cols)
+        ov = np.asarray(self.off_vals)
+        rs, cs, vs = [], [], []
+        for s in range(S):
+            # recover ghost gids for shard s from the halo plan
+            gids = np.full((self.recv_map.shape[1],), -1, np.int64)
+            rmap = np.asarray(self.recv_map[s])
+            sidx = np.asarray(self.send_idx)
+            C = sidx.shape[2]
+            for g, pos in enumerate(rmap):
+                if pos < S * C:
+                    o, j = divmod(int(pos), C)
+                    gids[g] = o * mc + sidx[o, s, j]
+            rows = np.arange(s * m, s * m + m)
+            dmask = dv != 0
+            for r in range(m):
+                gr = s * m + r
+                if gr >= n_rows:
+                    continue
+                sel = dv[s, r] != 0
+                rs.append(np.full(sel.sum(), gr))
+                cs.append(s * mc + dc[s, r][sel])
+                vs.append(dv[s, r][sel])
+                sel = ov[s, r] != 0
+                rs.append(np.full(sel.sum(), gr))
+                cs.append(gids[oc[s, r][sel]])
+                vs.append(ov[s, r][sel])
+        from parallel_amg_tpu.ops.csr import CSR
+
+        rs = np.concatenate(rs) if rs else np.empty(0, np.int64)
+        cs = np.concatenate(cs) if cs else np.empty(0, np.int64)
+        vs = np.concatenate(vs) if vs else np.empty(0)
+        keep = (cs >= 0) & (cs < n_cols)
+        return COO(rs[keep], cs[keep], vs[keep], self.true_shape).to_csr()
+
+    def repartition(self, mesh, col_partition: Partition | None = None,
+                    dtype=None) -> "PCSR":
+        """Redistribute onto a (possibly smaller) mesh — the coarse-level
+        repartitioner of SURVEY.md §2.1.  Host-mediated rebuild; the
+        all_to_all device path is a planned optimization."""
+        csr = self.to_csr()
+        return PCSR.from_csr(csr, mesh, col_partition=col_partition,
+                             dtype=dtype or self.diag_vals.dtype)
+
     def diagonal(self):
         """Main diagonal as a global sharded vector (square matrices)."""
         m = self.row_partition.rows_per_shard
