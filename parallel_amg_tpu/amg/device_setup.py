@@ -156,32 +156,27 @@ def _prune_zero_planes(A: Stencil) -> Stencil:
 
 from functools import partial
 
+# Piecewise jits: one XLA program per setup stage.  Empirically (v5e via
+# remote compile) each stage compiles in seconds while a monolithic
+# level-step program hit a superlinear compile-time blowup (>1h at 128³).
+_jit_dinv = jax.jit(
+    lambda A: jnp.where(A.diagonal() != 0, 1.0 / A.diagonal(), 0.0)
+)
+_jit_power = jax.jit(power_iteration_lambda_max, static_argnames=("iters",
+                                                                  "seed"))
+_jit_smooth = jax.jit(smoothing_operator)
+_jit_smooth_T = jax.jit(smoothing_operator_T)
+_jit_matmul = jax.jit(lambda a, b: a.matmul(b))
 
-@partial(jax.jit, static_argnames=("config", "seed"))
-def _coarsest_step(A: Stencil, config: AMGConfig, seed: int):
-    diag = A.diagonal()
-    d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
-    lam = power_iteration_lambda_max(A, d_inv, config.lambda_power_iters, seed)
-    return d_inv, lam
+
+@partial(jax.jit, static_argnames=("cdims", "block"))
+def _jit_scale(dims_ones, cdims, block):
+    counts = downsample_sum_nd(dims_ones, cdims, block)
+    return 1.0 / jnp.sqrt(jnp.maximum(counts, 1.0))
 
 
-@partial(jax.jit, static_argnames=("config", "seed", "cdims"))
-def _level_step(A: Stencil, config: AMGConfig, seed: int, cdims):
-    """One whole setup level as a single XLA program (static stencil
-    offsets ride in the pytree aux, so per-level shapes compile once)."""
-    b = config.block_size
-    diag = A.diagonal()
-    d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
-    lam = power_iteration_lambda_max(A, d_inv, config.lambda_power_iters, seed)
-    counts = downsample_sum_nd(jnp.ones(A.dims, A.weights.dtype), cdims, b)
-    scale = 1.0 / jnp.sqrt(jnp.maximum(counts, 1.0))
-    coef = config.sa_omega / jnp.maximum(lam, 1e-30)
-    S = smoothing_operator(A, d_inv, coef)
-    St = smoothing_operator_T(A, d_inv, coef)
-    M = St.matmul(A.matmul(S))  # (I − cAD⁻¹) A (I − cD⁻¹A)
-    A_c = galerkin_block(M, cdims, b, scale)
-    A_c = sparsify_stencil(A_c, config.coarse_drop_tol)
-    return d_inv, lam, scale, coef, A_c
+_jit_galerkin = jax.jit(galerkin_block, static_argnames=("cdims", "block"))
+_jit_sparsify = jax.jit(sparsify_stencil, static_argnames=("tol",))
 
 
 def device_structured_setup(A: Stencil, config: AMGConfig,
@@ -189,7 +184,7 @@ def device_structured_setup(A: Stencil, config: AMGConfig,
     """All-device block-SA setup from a fine-level Stencil operator.
 
     The host loop only decides shapes and prunes zero planes (one tiny sync
-    per level); all O(n) work is in one jitted program per level.
+    per level); all O(n) work runs in a handful of jitted stages per level.
     """
     assert config.coarsening == "sa" and config.aggregate == "block", (
         "device_structured_setup implements the structured block-SA path; "
@@ -199,14 +194,20 @@ def device_structured_setup(A: Stencil, config: AMGConfig,
     A = Stencil(A.weights.astype(dtype), A.offsets, A.dims)
     levels: List[Level] = []
     for lvl in range(config.max_levels):
+        d_inv = _jit_dinv(A)
+        lam = _jit_power(A, d_inv, iters=config.lambda_power_iters, seed=seed)
         if A.n <= config.n_coarse_max or lvl == config.max_levels - 1:
-            d_inv, lam = _coarsest_step(A, config, seed)
             levels.append(Level(A, None, None, d_inv, lam))
             break
         dims = A.dims
         cdims = tuple(-(-d // b) for d in dims)
-        d_inv, lam, scale, coef, A_c = _level_step(A, config, seed, cdims)
-        A_c = _prune_zero_planes(A_c)
+        scale = _jit_scale(jnp.ones(dims, dtype), cdims, b)
+        coef = config.sa_omega / jnp.maximum(lam, 1e-30)
+        S = _jit_smooth(A, d_inv, coef)
+        St = _jit_smooth_T(A, d_inv, coef)
+        M = _jit_matmul(St, _jit_matmul(A, S))
+        A_c = _jit_galerkin(M, cdims, b, scale)
+        A_c = _prune_zero_planes(_jit_sparsify(A_c, config.coarse_drop_tol))
         P_dev = BlockProlongator(A, d_inv, scale, coef, dims, cdims, b)
         R_dev = BlockRestrictor(A, d_inv, scale, coef, dims, cdims, b)
         levels.append(Level(A, P_dev, R_dev, d_inv, lam))

@@ -9,6 +9,8 @@ the reference (SURVEY.md §3.4) taken to its TPU-native conclusion.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -23,11 +25,13 @@ def _axis_mask(dims, axis, sgn, dtype):
     return (idx > 0).astype(dtype)
 
 
+@partial(jax.jit, static_argnames=("dims", "dtype"))
 def poisson_stencil(dims, dtype=jnp.float32) -> Stencil:
     """N-D (2N+1)-point Dirichlet Laplacian as a device Stencil.
 
     Matches problems.poisson2d/3d exactly (diag 2N, off-diagonals −1 where
-    the neighbor exists)."""
+    the neighbor exists).  Jitted: one compile instead of an eager op per
+    plane (which serializes through the remote-compile tunnel)."""
     dims = tuple(int(d) for d in dims)
     nd = len(dims)
     offsets = [tuple(0 for _ in dims)]
@@ -45,6 +49,7 @@ def poisson_stencil(dims, dtype=jnp.float32) -> Stencil:
     )
 
 
+@partial(jax.jit, static_argnames=("dims", "epsilon", "dtype"))
 def anisotropic_stencil(dims, epsilon: float = 1e-3,
                         dtype=jnp.float32) -> Stencil:
     """2D anisotropic −u_xx − ε·u_yy operator as a device Stencil
