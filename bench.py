@@ -139,6 +139,17 @@ def bench_amg(nx=128):
                             jnp.zeros_like(b), h, b)
     res = pat.amg_pcg(h.levels[0].A, h, b, tol=1e-6, maxiter=100)
     nnz = sum(int(np.asarray(l.A.nnz)) for l in h.levels)
+
+    # bf16 weight planes (mixed precision: f32 vectors/operator, bf16
+    # hierarchy) — cast the same hierarchy, no setup rerun
+    def cast16(x):
+        return x.astype(jnp.bfloat16) if (hasattr(x, "dtype")
+                                          and x.dtype == jnp.float32) else x
+    h16 = jax.tree_util.tree_map(cast16, h)
+    h16 = type(h)(h16.levels, h.coarse_chol, h.config)
+    t_cycle16 = marginal_time(lambda x, hh, bb: pat.vcycle(hh, x, bb),
+                              jnp.zeros_like(b), h16, b)
+    res16 = pat.amg_pcg(h.levels[0].A, h16, b, tol=1e-6, maxiter=100)
     return {
         "n": n,
         "setup_s": setup_s,
@@ -146,6 +157,8 @@ def bench_amg(nx=128):
         "vcycle_gnnz_s": nnz / t_cycle / 1e9,
         "cg_iters_1e-6": int(res.iters),
         "converged": bool(res.converged),
+        "vcycle_bf16_s": t_cycle16,
+        "cg_iters_bf16_precond": int(res16.iters),
     }
 
 

@@ -116,10 +116,17 @@ def galerkin_block(M: Stencil, cdims, block: int, scale) -> Stencil:
             onehot[oidx[tuple((rp[i] + o[i]) // b for i in range(nd))], d] = 1.0
         acc = acc + jnp.asarray(onehot, M.weights.dtype) @ piece
     planes = acc.reshape((n_out,) + tuple(cdims))
-    # tentative normalization: row and (offset-shifted) column scales
-    col_scales = jnp.stack(
-        [_shift_field(scale, o, cdims) for o in out_offs]
+    # tentative normalization: row and (offset-shifted) column scales.
+    # All n_out shifts in ONE vmapped dynamic_slice (per-offset pad+slice
+    # loops were the compile-time hog at deep levels).
+    r = [max(max(abs(o[i]) for o in out_offs), 0) for i in range(nd)]
+    scale_p = jnp.pad(scale, [(r[i], r[i]) for i in range(nd)])
+    starts = jnp.asarray(
+        [[r[i] + o[i] for i in range(nd)] for o in out_offs], jnp.int32
     )
+    col_scales = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(scale_p, s, tuple(cdims))
+    )(starts)
     planes = planes * scale[None] * col_scales
     return Stencil(planes, tuple(out_offs), cdims)
 

@@ -189,6 +189,7 @@ class Stencil:
         one-hot matmul (MXU) instead of D_A·D_B separate adds.
         """
         nd = len(self.dims)
+        DA = self.n_points
         DB = other.n_points
         out_offs = sorted({
             tuple(o1[i] + o2[i] for i in range(nd))
@@ -197,18 +198,34 @@ class Stencil:
         oidx = {o: i for i, o in enumerate(out_offs)}
         n_out = len(out_offs)
         n = int(np.prod(self.dims))
+        # pad B once by the max |o1| per axis; every shift is then one
+        # vmapped dynamic_slice (chunked over A-offsets to bound the
+        # (chunk, DB, n) transient)
+        r = [max(abs(o1[i]) for o1 in self.offsets) for i in range(nd)]
+        wp = jnp.pad(other.weights,
+                     [(0, 0)] + [(r[i], r[i]) for i in range(nd)])
+        all_starts = np.asarray(
+            [[0] + [r[i] + o1[i] for i in range(nd)] for o1 in self.offsets],
+            np.int32,
+        )
+        chunk = max(1, int((512 << 20) // max(DB * n * 4, 1)))  # ≤512MB
         acc = jnp.zeros((n_out, n), self.weights.dtype)
-        for d1, o1 in enumerate(self.offsets):
-            # shift all B planes: shifted[d2][p] = B[o2[d2]](p + o1)
-            pads = [(0, 0)] + [(max(0, -o1[i]), max(0, o1[i]))
-                               for i in range(nd)]
-            wp = jnp.pad(other.weights, pads)
-            start = (0,) + tuple(max(0, o1[i]) for i in range(nd))
-            shifted = jax.lax.dynamic_slice(wp, start, (DB,) + self.dims)
-            terms = (self.weights[d1][None] * shifted).reshape(DB, n)
-            onehot = np.zeros((n_out, DB), np.float32)
-            for d2, o2 in enumerate(other.offsets):
-                onehot[oidx[tuple(o1[i] + o2[i] for i in range(nd))], d2] = 1.0
+        for c0 in range(0, DA, chunk):
+            c1 = min(c0 + chunk, DA)
+            starts = jnp.asarray(all_starts[c0:c1])
+            shifted = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(wp, tuple(s),
+                                                (DB,) + self.dims)
+            )(starts)  # (c, DB, *dims)
+            terms = (self.weights[c0:c1, None] * shifted).reshape(
+                (c1 - c0) * DB, n
+            )
+            onehot = np.zeros((n_out, (c1 - c0) * DB), np.float32)
+            for k, d1 in enumerate(range(c0, c1)):
+                o1 = self.offsets[d1]
+                for d2, o2 in enumerate(other.offsets):
+                    o = tuple(o1[i] + o2[i] for i in range(nd))
+                    onehot[oidx[o], k * DB + d2] = 1.0
             acc = acc + jnp.asarray(onehot, self.weights.dtype) @ terms
         return Stencil(acc.reshape((n_out,) + self.dims), tuple(out_offs),
                        self.dims)
