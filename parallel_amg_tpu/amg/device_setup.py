@@ -111,10 +111,12 @@ def galerkin_block(M: Stencil, cdims, block: int, scale) -> Stencil:
         piece = jax.lax.slice(
             Wp, (0,) + rp, (D,) + fpad, (1,) + (b,) * nd
         ).reshape(D, nc)
-        onehot = np.zeros((n_out, D), np.float32)
-        for d, o in enumerate(M.offsets):
-            onehot[oidx[tuple((rp[i] + o[i]) // b for i in range(nd))], d] = 1.0
-        acc = acc + jnp.asarray(onehot, M.weights.dtype) @ piece
+        ids = np.asarray(
+            [oidx[tuple((rp[i] + o[i]) // b for i in range(nd))]
+             for o in M.offsets], np.int32)
+        onehot = (jnp.asarray(ids)[None, :]
+                  == jnp.arange(n_out)[:, None]).astype(M.weights.dtype)
+        acc = acc + onehot @ piece
     planes = acc.reshape((n_out,) + tuple(cdims))
     # tentative normalization: row and (offset-shifted) column scales.
     # All n_out shifts in ONE vmapped dynamic_slice (per-offset pad+slice
@@ -197,10 +199,21 @@ def device_structured_setup(A: Stencil, config: AMGConfig,
         "device_structured_setup implements the structured block-SA path; "
         "use host_setup for the algebraic configurations"
     )
+    import os
+    import time as _time
+    verbose = os.environ.get("PAT_SETUP_VERBOSE") == "1"
+
+    def _log(msg):
+        if verbose:
+            print(f"[setup +{_time.perf_counter()-_t0:.1f}s] {msg}",
+                  flush=True)
+
+    _t0 = _time.perf_counter()
     b = config.block_size
     A = Stencil(A.weights.astype(dtype), A.offsets, A.dims)
     levels: List[Level] = []
     for lvl in range(config.max_levels):
+        _log(f"level {lvl}: n={A.n} points={A.n_points}")
         d_inv = _jit_dinv(A)
         lam = _jit_power(A, d_inv, iters=config.lambda_power_iters, seed=seed)
         if A.n <= config.n_coarse_max or lvl == config.max_levels - 1:
@@ -212,16 +225,30 @@ def device_structured_setup(A: Stencil, config: AMGConfig,
         coef = config.sa_omega / jnp.maximum(lam, 1e-30)
         S = _jit_smooth(A, d_inv, coef)
         St = _jit_smooth_T(A, d_inv, coef)
-        M = _jit_matmul(St, _jit_matmul(A, S))
+        _log("  products...")
+        it = config.setup_intermediate_tol
+        AS = _jit_matmul(A, S)
+        AS = _prune_zero_planes(_jit_sparsify(AS, it))
+        jax.block_until_ready(AS.weights)
+        _log(f"  A@S done ({AS.n_points} points)")
+        M = _jit_matmul(St, AS)
+        M = _prune_zero_planes(_jit_sparsify(M, it))
+        jax.block_until_ready(M.weights)
+        _log(f"  St@AS done ({M.n_points} points)")
         A_c = _jit_galerkin(M, cdims, b, scale)
+        jax.block_until_ready(A_c.weights)
+        _log(f"  galerkin done ({A_c.n_points} points)")
         A_c = _prune_zero_planes(_jit_sparsify(A_c, config.coarse_drop_tol))
+        _log(f"  sparsified -> {A_c.n_points} points")
         P_dev = BlockProlongator(A, d_inv, scale, coef, dims, cdims, b)
         R_dev = BlockRestrictor(A, d_inv, scale, coef, dims, cdims, b)
         levels.append(Level(A, P_dev, R_dev, d_inv, lam))
         A = A_c
     # dense coarse factorization (tiny — assembled via host round-trip)
+    _log("coarse factorization...")
     coarse_dense = jnp.asarray(
         levels[-1].A.to_csr().to_dense(), dtype=jnp.float32
     )
     coarse_chol = jnp.linalg.cholesky(coarse_dense)
+    _log("done")
     return Hierarchy(levels, coarse_chol, config)

@@ -47,6 +47,12 @@ class AMGConfig:
     # communication/traffic-reduction technique of PAPERS.md row 4.
     # 0.0 disables.
     coarse_drop_tol: float = 0.02
+    # Sparsification applied to the intermediate stencil products (A·S,
+    # Sᵀ·A·S) during on-device structured setup: the triple product's
+    # intermediate offset sets grow combinatorially (measured 1485 planes at
+    # a level whose final operator needs 81) while the trimmed tails are
+    # O(c²) smoothing residue.  Same lumped-drop rule as coarse_drop_tol.
+    setup_intermediate_tol: float = 5e-3
     # Jacobi damping weight.
     jacobi_omega: float = 2.0 / 3.0
     # Smoother: "jacobi" | "chebyshev"

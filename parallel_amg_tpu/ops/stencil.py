@@ -220,13 +220,18 @@ class Stencil:
             terms = (self.weights[c0:c1, None] * shifted).reshape(
                 (c1 - c0) * DB, n
             )
-            onehot = np.zeros((n_out, (c1 - c0) * DB), np.float32)
+            # bucket ids as a small int constant; the one-hot matrix is
+            # built on device (a dense constant at deep levels exceeded the
+            # remote-compile request limit)
+            ids = np.empty(((c1 - c0) * DB,), np.int32)
             for k, d1 in enumerate(range(c0, c1)):
                 o1 = self.offsets[d1]
                 for d2, o2 in enumerate(other.offsets):
                     o = tuple(o1[i] + o2[i] for i in range(nd))
-                    onehot[oidx[o], k * DB + d2] = 1.0
-            acc = acc + jnp.asarray(onehot, self.weights.dtype) @ terms
+                    ids[k * DB + d2] = oidx[o]
+            onehot = (jnp.asarray(ids)[None, :]
+                      == jnp.arange(n_out)[:, None]).astype(self.weights.dtype)
+            acc = acc + onehot @ terms
         return Stencil(acc.reshape((n_out,) + self.dims), tuple(out_offs),
                        self.dims)
 
