@@ -133,6 +133,33 @@ def galerkin_block(M: Stencil, cdims, block: int, scale) -> Stencil:
     return Stencil(planes, tuple(out_offs), cdims)
 
 
+def symmetrize_stencil(A: Stencil) -> Stencil:
+    """(A + Aᵀ)/2 for a stencil with a symmetric offset set.
+
+    Row-based drop rules (sparsify) can break symmetry by f32-level
+    amounts; near-singular coarse operators then lose SPD-ness and the
+    Cholesky coarse solve NaNs.  Aᵀ plane: Aᵀ[p, p+o] = A[p+o, p]
+    = w₋ₒ(p+o)."""
+    nd = len(A.dims)
+    offs = sorted({o for o in A.offsets}
+                  | {tuple(-c for c in o) for o in A.offsets})
+    planes = []
+    for o in offs:
+        w = jnp.zeros(A.dims, A.weights.dtype)
+        if o in A.offsets:
+            w = w + A.weights[A.offsets.index(o)]
+        no = tuple(-c for c in o)
+        if no in A.offsets:
+            # w_{-o} evaluated at p+o (zero outside)
+            d = A.offsets.index(no)
+            pads = [(max(0, -o[i]), max(0, o[i])) for i in range(nd)]
+            wp = jnp.pad(A.weights[d], pads)
+            start = tuple(max(0, o[i]) for i in range(nd))
+            w = w + jax.lax.dynamic_slice(wp, start, A.dims)
+        planes.append(0.5 * w)
+    return Stencil(jnp.stack(planes), tuple(offs), A.dims)
+
+
 def sparsify_stencil(A: Stencil, tol: float) -> Stencil:
     """Drop |w| < tol·rowmax off-diagonal entries, lump onto the diagonal
     (device analog of oracle.sparsify_lumped)."""
@@ -185,7 +212,11 @@ def _jit_scale(dims_ones, cdims, block):
 
 
 _jit_galerkin = jax.jit(galerkin_block, static_argnames=("cdims", "block"))
-_jit_sparsify = jax.jit(sparsify_stencil, static_argnames=("tol",))
+
+
+@partial(jax.jit, static_argnames=("tol",))
+def _jit_sparsify(A, tol):
+    return symmetrize_stencil(sparsify_stencil(A, tol))
 
 
 def device_structured_setup(A: Stencil, config: AMGConfig,
@@ -249,6 +280,13 @@ def device_structured_setup(A: Stencil, config: AMGConfig,
     coarse_dense = jnp.asarray(
         levels[-1].A.to_csr().to_dense(), dtype=jnp.float32
     )
-    coarse_chol = jnp.linalg.cholesky(coarse_dense)
+    # ridge: repeated sparsification can push the near-singular coarse
+    # spectrum slightly negative; the shift is far below the coarse-solve
+    # accuracy that matters inside a preconditioner
+    n_c = coarse_dense.shape[0]
+    ridge = 1e-4 * jnp.trace(coarse_dense) / n_c
+    coarse_chol = jnp.linalg.cholesky(
+        coarse_dense + ridge * jnp.eye(n_c, dtype=jnp.float32)
+    )
     _log("done")
     return Hierarchy(levels, coarse_chol, config)

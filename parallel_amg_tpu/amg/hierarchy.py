@@ -215,7 +215,12 @@ def host_setup(A, config: AMGConfig, dtype=jnp.float32, seed: int = 0,
     coarse_dense = jnp.asarray(
         oh.levels[n_levels - 1].A.toarray(), dtype=jnp.float32
     )
-    # SPD coarse matrix → Cholesky. Solve in f32 even when the cycle runs in
-    # a lower precision (the coarse level is tiny).
-    coarse_chol = jnp.linalg.cholesky(coarse_dense)
+    # SPD coarse matrix → Cholesky (ridge guards against f32/sparsification
+    # perturbations of the near-singular coarse spectrum). Solve in f32 even
+    # when the cycle runs in a lower precision (the coarse level is tiny).
+    n_c = coarse_dense.shape[0]
+    ridge = 1e-4 * jnp.trace(coarse_dense) / n_c
+    coarse_chol = jnp.linalg.cholesky(
+        coarse_dense + ridge * jnp.eye(n_c, dtype=jnp.float32)
+    )
     return Hierarchy(levels, coarse_chol, config)

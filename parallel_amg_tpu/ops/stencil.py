@@ -129,6 +129,24 @@ class Stencil:
             y = y + self.weights[d] * jax.lax.dynamic_slice(xp, start, self.dims)
         return y
 
+    def matmat(self, X):
+        """Y = A @ X for multi-RHS X of shape (*dims, k) — SpMM: the k
+        shifted passes share one padded buffer (BASELINE.json:5 SpMM)."""
+        k = X.shape[-1]
+        pads = [
+            (max(0, -min(o[i] for o in self.offsets)),
+             max(0, max(o[i] for o in self.offsets)))
+            for i in range(len(self.dims))
+        ] + [(0, 0)]
+        Xp = jnp.pad(X, pads)
+        Y = jnp.zeros_like(X)
+        for d, off in enumerate(self.offsets):
+            start = tuple(pads[i][0] + off[i] for i in range(len(self.dims)))
+            Y = Y + self.weights[d][..., None] * jax.lax.dynamic_slice(
+                Xp, start + (0,), self.dims + (k,)
+            )
+        return Y
+
     def diagonal(self):
         """Main diagonal as an N-D grid."""
         zero = tuple(0 for _ in self.dims)

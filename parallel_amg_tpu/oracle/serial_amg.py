@@ -361,6 +361,9 @@ def sparsify_lumped(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
     )
     out = out + sp.diags(lump)
     out.sum_duplicates()
+    # row-based drops break symmetry; symmetrize so near-singular coarse
+    # operators keep SPD-ness for the Cholesky coarse solve
+    out = 0.5 * (out + out.T)
     return out.tocsr()
 
 

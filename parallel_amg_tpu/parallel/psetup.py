@@ -73,7 +73,8 @@ def distributed_setup(A, config: AMGConfig, mesh, dtype=jnp.float32,
     cpart = parts[-1]
     dense = np.eye(cpart.n_padded, dtype=np.float64)
     dense[: cpart.n_global, : cpart.n_global] = oh.levels[-1].A.toarray()
-    chol = np.linalg.cholesky(dense)
+    ridge = 1e-4 * np.trace(dense) / dense.shape[0]
+    chol = np.linalg.cholesky(dense + ridge * np.eye(dense.shape[0]))
     coarse_chol = jax.device_put(
         jnp.asarray(chol, dtype=jnp.float32), replicated_sharding(mesh)
     )

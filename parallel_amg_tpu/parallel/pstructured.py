@@ -221,7 +221,8 @@ def structured_distributed_setup(A, config: AMGConfig, mesh, dims,
     # embed the true coarse operator at the padded index positions
     tidx = _embed_indices(tdims, cdims_pad)
     dense[np.ix_(tidx, tidx)] = coarse_true
-    chol = np.linalg.cholesky(dense)
+    ridge = 1e-4 * np.trace(dense) / dense.shape[0]
+    chol = np.linalg.cholesky(dense + ridge * np.eye(dense.shape[0]))
     coarse_chol = jax.device_put(jnp.asarray(chol, jnp.float32),
                                  replicated_sharding(mesh))
     return Hierarchy(levels, coarse_chol, config)

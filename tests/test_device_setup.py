@@ -145,3 +145,15 @@ def test_device_setup_anisotropic(rng):
     res = pat.amg_pcg(h.levels[0].A, h, jnp.asarray(b, jnp.float32),
                       tol=1e-6, maxiter=80)
     assert bool(res.converged)
+
+
+def test_stencil_matmat(rng):
+    st = poisson_stencil((8, 9))
+    X = rng.normal(size=(8, 9, 3)).astype(np.float32)
+    Y = np.asarray(st.matmat(jnp.asarray(X)))
+    A = st.to_csr().to_dense()
+    for k in range(3):
+        np.testing.assert_allclose(
+            Y[..., k].reshape(-1), A @ X[..., k].reshape(-1),
+            rtol=1e-4, atol=1e-5,
+        )
