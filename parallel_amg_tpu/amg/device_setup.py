@@ -214,8 +214,14 @@ def _jit_scale(dims_ones, cdims, block):
 _jit_galerkin = jax.jit(galerkin_block, static_argnames=("cdims", "block"))
 
 
+_jit_sparsify = jax.jit(sparsify_stencil, static_argnames=("tol",))
+
+
 @partial(jax.jit, static_argnames=("tol",))
-def _jit_sparsify(A, tol):
+def _jit_sparsify_sym(A, tol):
+    # for SYMMETRIC operators only (M = S^T A S, A_c): re-symmetrize after
+    # the row-based drop; intermediates like A*S are asymmetric and must
+    # NOT be symmetrized
     return symmetrize_stencil(sparsify_stencil(A, tol))
 
 
@@ -263,13 +269,14 @@ def device_structured_setup(A: Stencil, config: AMGConfig,
         jax.block_until_ready(AS.weights)
         _log(f"  A@S done ({AS.n_points} points)")
         M = _jit_matmul(St, AS)
-        M = _prune_zero_planes(_jit_sparsify(M, it))
+        M = _prune_zero_planes(_jit_sparsify_sym(M, it))
         jax.block_until_ready(M.weights)
         _log(f"  St@AS done ({M.n_points} points)")
         A_c = _jit_galerkin(M, cdims, b, scale)
         jax.block_until_ready(A_c.weights)
         _log(f"  galerkin done ({A_c.n_points} points)")
-        A_c = _prune_zero_planes(_jit_sparsify(A_c, config.coarse_drop_tol))
+        A_c = _prune_zero_planes(
+            _jit_sparsify_sym(A_c, config.coarse_drop_tol))
         _log(f"  sparsified -> {A_c.n_points} points")
         P_dev = BlockProlongator(A, d_inv, scale, coef, dims, cdims, b)
         R_dev = BlockRestrictor(A, d_inv, scale, coef, dims, cdims, b)

@@ -308,5 +308,13 @@ class TWELL:
         )
         return d_tiles.reshape(-1)[: self.n_rows]
 
+    def matmat(self, X):
+        """Y = A @ X for dense (n_cols, k) X — SpMM as k kernel passes
+        (the per-pass x slab is replicated anyway; small k only)."""
+        cols = [self.matvec(X[:, j]) for j in range(X.shape[1])]
+        return jnp.stack(cols, axis=1)
+
     def __matmul__(self, x):
-        return self.matvec(x)
+        if x.ndim == 1:
+            return self.matvec(x)
+        return self.matmat(x)
