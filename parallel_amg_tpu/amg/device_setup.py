@@ -118,17 +118,19 @@ def galerkin_block(M: Stencil, cdims, block: int, scale) -> Stencil:
                   == jnp.arange(n_out)[:, None]).astype(M.weights.dtype)
         acc = acc + onehot @ piece
     planes = acc.reshape((n_out,) + tuple(cdims))
-    # tentative normalization: row and (offset-shifted) column scales.
-    # All n_out shifts in ONE vmapped dynamic_slice (per-offset pad+slice
-    # loops were the compile-time hog at deep levels).
+    # tentative normalization: row and (offset-shifted) column scales —
+    # static slices of one padded buffer (vmapped dynamic_slice lowers to a
+    # gather whose TPU compile is pathologically slow)
     r = [max(max(abs(o[i]) for o in out_offs), 0) for i in range(nd)]
     scale_p = jnp.pad(scale, [(r[i], r[i]) for i in range(nd)])
-    starts = jnp.asarray(
-        [[r[i] + o[i] for i in range(nd)] for o in out_offs], jnp.int32
-    )
-    col_scales = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(scale_p, s, tuple(cdims))
-    )(starts)
+    col_scales = jnp.stack([
+        jax.lax.slice(
+            scale_p,
+            [r[i] + o[i] for i in range(nd)],
+            [r[i] + o[i] + cdims[i] for i in range(nd)],
+        )
+        for o in out_offs
+    ])
     planes = planes * scale[None] * col_scales
     return Stencil(planes, tuple(out_offs), cdims)
 

@@ -216,37 +216,24 @@ class Stencil:
         oidx = {o: i for i, o in enumerate(out_offs)}
         n_out = len(out_offs)
         n = int(np.prod(self.dims))
-        # pad B once by the max |o1| per axis; every shift is then one
-        # vmapped dynamic_slice (chunked over A-offsets to bound the
-        # (chunk, DB, n) transient)
+        # pad B once by the max |o1| per axis; per A-offset one STATIC
+        # slice (lax.slice with literal bounds — a vmapped dynamic_slice
+        # lowered to a gather whose TPU compile took minutes)
         r = [max(abs(o1[i]) for o1 in self.offsets) for i in range(nd)]
         wp = jnp.pad(other.weights,
                      [(0, 0)] + [(r[i], r[i]) for i in range(nd)])
-        all_starts = np.asarray(
-            [[0] + [r[i] + o1[i] for i in range(nd)] for o1 in self.offsets],
-            np.int32,
-        )
-        chunk = max(1, int((512 << 20) // max(DB * n * 4, 1)))  # ≤512MB
         acc = jnp.zeros((n_out, n), self.weights.dtype)
-        for c0 in range(0, DA, chunk):
-            c1 = min(c0 + chunk, DA)
-            starts = jnp.asarray(all_starts[c0:c1])
-            shifted = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(wp, tuple(s),
-                                                (DB,) + self.dims)
-            )(starts)  # (c, DB, *dims)
-            terms = (self.weights[c0:c1, None] * shifted).reshape(
-                (c1 - c0) * DB, n
-            )
+        for d1, o1 in enumerate(self.offsets):
+            start = [0] + [r[i] + o1[i] for i in range(nd)]
+            limit = [DB] + [start[1 + i] + self.dims[i] for i in range(nd)]
+            shifted = jax.lax.slice(wp, start, limit)
+            terms = (self.weights[d1][None] * shifted).reshape(DB, n)
             # bucket ids as a small int constant; the one-hot matrix is
             # built on device (a dense constant at deep levels exceeded the
             # remote-compile request limit)
-            ids = np.empty(((c1 - c0) * DB,), np.int32)
-            for k, d1 in enumerate(range(c0, c1)):
-                o1 = self.offsets[d1]
-                for d2, o2 in enumerate(other.offsets):
-                    o = tuple(o1[i] + o2[i] for i in range(nd))
-                    ids[k * DB + d2] = oidx[o]
+            ids = np.asarray(
+                [oidx[tuple(o1[i] + o2[i] for i in range(nd))]
+                 for o2 in other.offsets], np.int32)
             onehot = (jnp.asarray(ids)[None, :]
                       == jnp.arange(n_out)[:, None]).astype(self.weights.dtype)
             acc = acc + onehot @ terms
