@@ -17,15 +17,16 @@ from parallel_amg_tpu.amg import smoothers
 
 
 def coarse_solve(hierarchy, b):
-    """Dense Cholesky solve on the coarsest level (replicated).
+    """Dense coarse solve: one matmul with the precomputed M⁻¹ (replicated).
 
     b may be an N-D grid on the structured path — flattened for the dense
-    triangular solves (tiny level; the relayout is negligible here).
+    apply (tiny level; the relayout is negligible here).  M⁻¹ is the eigh
+    pseudo-inverse (hierarchy.coarse_inverse): robust to slightly indefinite
+    coarse operators and MXU-friendly, unlike sequential triangular solves.
     """
-    L = hierarchy.coarse_chol
-    b32 = b.reshape(-1).astype(L.dtype)
-    y = jax.scipy.linalg.solve_triangular(L, b32, lower=True)
-    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    Minv = hierarchy.coarse_inv
+    b32 = b.reshape(-1).astype(Minv.dtype)
+    x = Minv @ b32
     return x.astype(b.dtype).reshape(b.shape)
 
 

@@ -272,11 +272,14 @@ def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
         A_c = ell_prune(A_c, tol=0.0)
         levels.append(Level(A_ell, P, R, d_inv, lam))
         A_ell = A_c
-    coarse_dense = jnp.asarray(
-        levels[-1].A.to_csr().to_dense(), dtype=jnp.float32
+    from parallel_amg_tpu.amg.hierarchy import coarse_inverse_np
+
+    coarse_inv = jnp.asarray(
+        coarse_inverse_np(np.asarray(
+            levels[-1].A.to_csr().to_dense(), np.float64)),
+        jnp.float32,
     )
-    coarse_chol = jnp.linalg.cholesky(coarse_dense)
-    return Hierarchy(levels, coarse_chol, config)
+    return Hierarchy(levels, coarse_inv, config)
 
 
 def _ell_lambda_max(A: ELL, d_inv, iters: int, seed: int = 0):

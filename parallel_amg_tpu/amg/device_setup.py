@@ -244,8 +244,9 @@ def device_structured_setup(A: Stencil, config: AMGConfig,
 
     def _log(msg):
         if verbose:
+            import sys
             print(f"[setup +{_time.perf_counter()-_t0:.1f}s] {msg}",
-                  flush=True)
+                  file=sys.stderr, flush=True)
 
     _t0 = _time.perf_counter()
     b = config.block_size
@@ -284,18 +285,17 @@ def device_structured_setup(A: Stencil, config: AMGConfig,
         R_dev = BlockRestrictor(A, d_inv, scale, coef, dims, cdims, b)
         levels.append(Level(A, P_dev, R_dev, d_inv, lam))
         A = A_c
-    # dense coarse factorization (tiny — assembled via host round-trip)
+    # dense coarse solve operator (tiny — assembled via host round-trip);
+    # eigh pseudo-inverse: repeated sparsification can push the coarse
+    # spectrum genuinely negative (observed −4%·λ_max at 128³) where a
+    # ridge + Cholesky NaNs
     _log("coarse factorization...")
-    coarse_dense = jnp.asarray(
-        levels[-1].A.to_csr().to_dense(), dtype=jnp.float32
-    )
-    # ridge: repeated sparsification can push the near-singular coarse
-    # spectrum slightly negative; the shift is far below the coarse-solve
-    # accuracy that matters inside a preconditioner
-    n_c = coarse_dense.shape[0]
-    ridge = 1e-4 * jnp.trace(coarse_dense) / n_c
-    coarse_chol = jnp.linalg.cholesky(
-        coarse_dense + ridge * jnp.eye(n_c, dtype=jnp.float32)
+    from parallel_amg_tpu.amg.hierarchy import coarse_inverse_np
+
+    coarse_inv = jnp.asarray(
+        coarse_inverse_np(np.asarray(
+            levels[-1].A.to_csr().to_dense(), np.float64)),
+        jnp.float32,
     )
     _log("done")
-    return Hierarchy(levels, coarse_chol, config)
+    return Hierarchy(levels, coarse_inv, config)

@@ -49,23 +49,50 @@ class Level:
         return self.A.n_rows
 
 
+def coarse_inverse(dense, rel_tol: float = 1e-6):
+    """Dense coarse-level solve operator M⁻¹ via symmetric eigh.
+
+    Repeated sparsify/lump rounds can leave the coarsest operator slightly
+    indefinite (observed λ_min ≈ −4%·λ_max on 128³ block-SA), where ridge +
+    Cholesky NaNs.  The eigendecomposition pseudo-inverse zeroes the
+    non-positive modes, and applying a precomputed dense M⁻¹ is one matmul
+    on the MXU instead of two sequential triangular solves.
+    """
+    S = 0.5 * (dense + dense.T)
+    w, V = jnp.linalg.eigh(S)
+    wmax = jnp.max(jnp.abs(w))
+    good = w > rel_tol * wmax
+    winv = jnp.where(good, 1.0 / jnp.where(good, w, 1.0), 0.0)
+    return (V * winv[None, :]) @ V.T
+
+
+def coarse_inverse_np(dense, rel_tol: float = 1e-6):
+    """Host (numpy, f64) variant of :func:`coarse_inverse`."""
+    S = 0.5 * (dense + dense.T)
+    w, V = np.linalg.eigh(S)
+    wmax = np.max(np.abs(w)) if w.size else 1.0
+    winv = np.where(w > rel_tol * wmax, 1.0 / np.where(w > rel_tol * wmax, w, 1.0), 0.0)
+    return (V * winv[None, :]) @ V.T
+
+
 @jax.tree_util.register_pytree_node_class
 class Hierarchy:
     """Full AMG hierarchy. A pytree; ``config`` is static aux data."""
 
-    def __init__(self, levels: List[Level], coarse_chol, config: AMGConfig):
+    def __init__(self, levels: List[Level], coarse_inv, config: AMGConfig):
         self.levels = levels
-        # Cholesky factor (lower) of the dense coarsest-level matrix.
-        self.coarse_chol = coarse_chol
+        # Dense solve operator M⁻¹ for the coarsest-level matrix (eigh
+        # pseudo-inverse — see coarse_inverse).
+        self.coarse_inv = coarse_inv
         self.config = config
 
     def tree_flatten(self):
-        return (self.levels, self.coarse_chol), self.config
+        return (self.levels, self.coarse_inv), self.config
 
     @classmethod
     def tree_unflatten(cls, config, children):
-        levels, coarse_chol = children
-        return cls(levels, coarse_chol, config)
+        levels, coarse_inv = children
+        return cls(levels, coarse_inv, config)
 
     @property
     def n_levels(self) -> int:
@@ -212,15 +239,9 @@ def host_setup(A, config: AMGConfig, dtype=jnp.float32, seed: int = 0,
         if i + 1 == n_levels:
             break
     levels = levels[:n_levels]
-    coarse_dense = jnp.asarray(
-        oh.levels[n_levels - 1].A.toarray(), dtype=jnp.float32
+    # Solve operator in f32 even when the cycle runs in a lower precision
+    # (the coarse level is tiny).
+    coarse_inv = jnp.asarray(
+        coarse_inverse_np(oh.levels[n_levels - 1].A.toarray()), jnp.float32
     )
-    # SPD coarse matrix → Cholesky (ridge guards against f32/sparsification
-    # perturbations of the near-singular coarse spectrum). Solve in f32 even
-    # when the cycle runs in a lower precision (the coarse level is tiny).
-    n_c = coarse_dense.shape[0]
-    ridge = 1e-4 * jnp.trace(coarse_dense) / n_c
-    coarse_chol = jnp.linalg.cholesky(
-        coarse_dense + ridge * jnp.eye(n_c, dtype=jnp.float32)
-    )
-    return Hierarchy(levels, coarse_chol, config)
+    return Hierarchy(levels, coarse_inv, config)

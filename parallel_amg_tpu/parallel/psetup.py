@@ -69,13 +69,14 @@ def distributed_setup(A, config: AMGConfig, mesh, dtype=jnp.float32,
                 lam_max=jnp.asarray(ol.lam_max, dtype=dtype),
             )
         )
-    # replicated dense coarse factor over the padded coarse space
+    # replicated dense coarse solve operator over the padded coarse space
+    from parallel_amg_tpu.amg.hierarchy import coarse_inverse_np
+
     cpart = parts[-1]
     dense = np.eye(cpart.n_padded, dtype=np.float64)
     dense[: cpart.n_global, : cpart.n_global] = oh.levels[-1].A.toarray()
-    ridge = 1e-4 * np.trace(dense) / dense.shape[0]
-    chol = np.linalg.cholesky(dense + ridge * np.eye(dense.shape[0]))
-    coarse_chol = jax.device_put(
-        jnp.asarray(chol, dtype=jnp.float32), replicated_sharding(mesh)
+    coarse_inv = jax.device_put(
+        jnp.asarray(coarse_inverse_np(dense), dtype=jnp.float32),
+        replicated_sharding(mesh),
     )
-    return Hierarchy(levels, coarse_chol, config)
+    return Hierarchy(levels, coarse_inv, config)

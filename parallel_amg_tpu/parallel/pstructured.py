@@ -221,11 +221,12 @@ def structured_distributed_setup(A, config: AMGConfig, mesh, dims,
     # embed the true coarse operator at the padded index positions
     tidx = _embed_indices(tdims, cdims_pad)
     dense[np.ix_(tidx, tidx)] = coarse_true
-    ridge = 1e-4 * np.trace(dense) / dense.shape[0]
-    chol = np.linalg.cholesky(dense + ridge * np.eye(dense.shape[0]))
-    coarse_chol = jax.device_put(jnp.asarray(chol, jnp.float32),
-                                 replicated_sharding(mesh))
-    return Hierarchy(levels, coarse_chol, config)
+    from parallel_amg_tpu.amg.hierarchy import coarse_inverse_np
+
+    coarse_inv = jax.device_put(
+        jnp.asarray(coarse_inverse_np(dense), jnp.float32),
+        replicated_sharding(mesh))
+    return Hierarchy(levels, coarse_inv, config)
 
 
 def _true_dims(oh, i, dims0):
