@@ -26,29 +26,34 @@ from jax.sharding import PartitionSpec as P
 from parallel_amg_tpu.parallel.mesh import ROW_AXIS, row_sharding
 
 
-def _halo_exchange(xl, h):
-    """Fetch h top planes from the left neighbor and h bottom planes from
-    the right neighbor along axis 0 (zero planes at the domain boundary).
+def _halo_planes(xl, h):
+    """Fetch the h top planes of the left neighbor and the h bottom planes
+    of the right neighbor along axis 0 (zero planes at the domain boundary).
 
-    xl: (m0, *rest) local slab inside shard_map.  Returns (m0+2h, *rest).
+    xl: (m0, *rest) local slab inside shard_map.  Returns a pair of
+    (h, *rest) arrays (left_halo, right_halo).
     """
     S = jax.lax.axis_size(ROW_AXIS)
     idx = jax.lax.axis_index(ROW_AXIS)
-    zeros = jnp.zeros((h,) + xl.shape[1:], xl.dtype)
     if S == 1:
-        return jnp.concatenate([zeros, xl, zeros], axis=0)
+        zeros = jnp.zeros((h,) + xl.shape[1:], xl.dtype)
+        return zeros, zeros
     # my top h planes -> right neighbor's left halo
-    top = xl[-h:]
     left_halo = jax.lax.ppermute(
-        top, ROW_AXIS, [(i, i + 1) for i in range(S - 1)]
+        xl[-h:], ROW_AXIS, [(i, i + 1) for i in range(S - 1)]
     )
     left_halo = jnp.where(idx == 0, 0.0, left_halo)
     # my bottom h planes -> left neighbor's right halo
-    bottom = xl[:h]
     right_halo = jax.lax.ppermute(
-        bottom, ROW_AXIS, [(i + 1, i) for i in range(S - 1)]
+        xl[:h], ROW_AXIS, [(i + 1, i) for i in range(S - 1)]
     )
     right_halo = jnp.where(idx == S - 1, 0.0, right_halo)
+    return left_halo, right_halo
+
+
+def _halo_exchange(xl, h):
+    """(m0+2h, *rest) slab with neighbor halos concatenated on axis 0."""
+    left_halo, right_halo = _halo_planes(xl, h)
     return jnp.concatenate([left_halo, xl, right_halo], axis=0)
 
 
@@ -120,28 +125,63 @@ class ShardedStencil:
 
     # -- distributed matvec ------------------------------------------------
     def matvec(self, x):
-        """y = A @ x for a globally-sharded N-D grid x (axis 0 on 'rows')."""
+        """y = A @ x for a globally-sharded N-D grid x (axis 0 on 'rows').
+
+        Comm/compute overlap (SURVEY.md §2.5, BASELINE.json:5 "halo exchange
+        overlapped with on-diagonal compute"): the interior contribution is
+        computed from the local slab alone (zero halo), and only O(h·surface)
+        boundary-row corrections depend on the ``ppermute`` results — so
+        XLA's latency-hiding scheduler is free to run the halo exchange
+        concurrently with the bulk SpMV, instead of serializing exchange →
+        compute as a concatenated-halo formulation would.
+        """
         h = self.halo
         offsets = self.offsets
         dims = self.dims
         nd = len(dims)
 
         def kernel(W, xl):
-            xh = _halo_exchange(xl, h) if h else xl
-            # pad the non-sharded axes; axis 0 already has halo planes
-            pads = [(0, 0)] + [
+            m0 = xl.shape[0]
+            if h:
+                left_halo, right_halo = _halo_planes(xl, h)  # comm starts
+            # zero-pad every axis (incl. axis 0: interior-only contribution)
+            pads = [(h, h)] + [
                 (max(0, -min(o[i] for o in offsets)),
                  max(0, max(o[i] for o in offsets)))
                 for i in range(1, nd)
             ]
-            xp = jnp.pad(xh, pads)
+            xp = jnp.pad(xl, pads)
             y = jnp.zeros_like(xl)
             local = xl.shape
+            rest = tuple(local[1:])
             for d, off in enumerate(offsets):
                 start = (h + off[0],) + tuple(
                     pads[i][0] + off[i] for i in range(1, nd)
                 )
                 y = y + W[d] * jax.lax.dynamic_slice(xp, start, local)
+            if not h:
+                return y
+            # boundary corrections — the only consumers of the halo planes
+            lp = jnp.pad(left_halo, [(0, 0)] + pads[1:])
+            rp = jnp.pad(right_halo, [(0, 0)] + pads[1:])
+            for d, off in enumerate(offsets):
+                o0 = off[0]
+                if o0 == 0:
+                    continue
+                sub = tuple(
+                    slice(pads[i][0] + off[i],
+                          pads[i][0] + off[i] + rest[i - 1])
+                    for i in range(1, nd)
+                )
+                if o0 < 0:
+                    # rows i < -o0 read left-halo plane h + o0 + i
+                    L = -o0
+                    src = lp[(slice(h + o0, h),) + sub]
+                    y = y.at[:L].add(W[d][:L] * src)
+                else:
+                    # rows i >= m0 - o0 read right-halo plane i + o0 - m0
+                    src = rp[(slice(0, o0),) + sub]
+                    y = y.at[m0 - o0:].add(W[d][m0 - o0:] * src)
             return y
 
         return jax.shard_map(
