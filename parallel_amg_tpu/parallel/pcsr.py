@@ -95,6 +95,35 @@ class PCSR:
         m, mc = row_part.rows_per_shard, col_part.rows_per_shard
 
         indptr, indices, data = csr.indptr, csr.indices, csr.data
+
+        # native C++ fast path for the O(nnz) partition scans (native/);
+        # the numpy loop below is the fallback + correctness oracle
+        from parallel_amg_tpu import native
+
+        built = native.pcsr_partition(indptr, indices, data,
+                                      n_rows, S, m, mc)
+        if built is not None:
+            diag_cols, diag_vals, off_cols, off_vals, ghost_sets = built
+            if pad_identity and n_rows == n_cols:
+                for s in range(S):
+                    lo, hi = row_part.own_range(s)
+                    pad = np.arange(hi - lo, m)
+                    diag_cols[s, pad, 0] = pad
+                    diag_vals[s, pad, 0] = 1.0
+            plan = build_halo_plan(ghost_sets, col_part)
+            return cls(
+                diag_cols=jnp.asarray(diag_cols),
+                diag_vals=jnp.asarray(diag_vals, dtype=dtype),
+                off_cols=jnp.asarray(off_cols),
+                off_vals=jnp.asarray(off_vals, dtype=dtype),
+                send_idx=jnp.asarray(plan.send_idx),
+                recv_map=jnp.asarray(plan.recv_map),
+                mesh=mesh,
+                row_partition=row_part,
+                col_partition=col_part,
+                true_shape=(n_rows, n_cols),
+            )
+
         per_shard = []
         ghost_sets = []
         for s in range(S):
