@@ -123,6 +123,32 @@ class Hierarchy:
         return v.reshape(-1) if v.ndim > 1 else v
 
 
+def with_spmv_backend(h: "Hierarchy", backend: str = "pallas") -> "Hierarchy":
+    """Swap the level operators' SpMV engine after setup.
+
+    backend="pallas" converts every Stencil level operator to the FlatDIA
+    streaming Pallas kernel (ops/flatdia.py); backend="xla" converts FlatDIA
+    levels back to the N-D Stencil XLA path.  Transfer operators and
+    smoother data are untouched (they are shape-compatible with both: the
+    formats accept/return N-D grid vectors).
+    """
+    from parallel_amg_tpu.ops.flatdia import FlatDIA
+    from parallel_amg_tpu.ops.stencil import Stencil
+
+    def convert(A):
+        if backend == "pallas" and isinstance(A, Stencil):
+            return FlatDIA.from_stencil(A)
+        if (backend == "xla" and isinstance(A, FlatDIA) and A.dims
+                and A.nd_offsets is not None):
+            W = A.diags[:, : A.n].reshape((A.n_points,) + A.dims)
+            return Stencil(W, A.nd_offsets, A.dims)
+        return A
+
+    levels = [Level(A=convert(l.A), P=l.P, R=l.R, d_inv=l.d_inv,
+                    lam_max=l.lam_max) for l in h.levels]
+    return Hierarchy(levels, h.coarse_inv, h.config)
+
+
 # ---------------------------------------------------------------------------
 # Setup driver
 # ---------------------------------------------------------------------------

@@ -8,12 +8,22 @@ Formats:
   TPU compute path actually consumes (gathers become dense strided loads).
 - :class:`~parallel_amg_tpu.ops.bsr.BSR` — r×c dense blocks for the MXU/VPU.
 
-Kernels: `jnp` reference implementations here; Pallas TPU kernels in
-``parallel_amg_tpu.ops.pallas``.
+Pallas TPU kernels (BASELINE.json:5 "kernels written in Pallas"):
+- :class:`~parallel_amg_tpu.ops.twell.TWELL` — tile-windowed ELL with a
+  scalar-prefetch gather SpMV kernel (unstructured matrices);
+- :class:`~parallel_amg_tpu.ops.flatdia.FlatDIA` — flattened-diagonal
+  streaming SpMV/SpMM with double-buffered HBM→VMEM windows (banded /
+  stencil matrices).
+`jnp` reference implementations (ELL/DIA/Stencil/BSR) are the oracles.
 """
 
+from parallel_amg_tpu.ops.bsr import BSR
 from parallel_amg_tpu.ops.coo import COO
 from parallel_amg_tpu.ops.csr import CSR
+from parallel_amg_tpu.ops.dia import DIA
 from parallel_amg_tpu.ops.ell import ELL
+from parallel_amg_tpu.ops.flatdia import FlatDIA
+from parallel_amg_tpu.ops.stencil import Stencil
+from parallel_amg_tpu.ops.twell import TWELL
 
-__all__ = ["COO", "CSR", "ELL"]
+__all__ = ["BSR", "COO", "CSR", "DIA", "ELL", "FlatDIA", "Stencil", "TWELL"]
