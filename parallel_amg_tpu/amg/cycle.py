@@ -43,13 +43,21 @@ def _cycle(hierarchy, lvl: int, x, b, gamma: int):
     level = hierarchy.levels[lvl]
     x = smoothers.smooth(level, x, b, cfg, cfg.nu_pre)
     r = b - level.A.matvec(x)
-    bc = level.R.matvec(r)
+    bc = _apply_transfer(level.R, level, r)
     xc = _zeros_coarse(level.P, b.dtype)
     for _ in range(gamma):
         xc = _cycle(hierarchy, lvl + 1, xc, bc, gamma)
-    x = x + level.P.matvec(xc)
+    x = x + _apply_transfer(level.P, level, xc)
     x = smoothers.smooth(level, x, b, cfg, cfg.nu_post)
     return x
+
+
+def _apply_transfer(T, level, v):
+    """Apply P/R; linked block transfers borrow the level's operator so the
+    hierarchy pytree carries the fine operator exactly once."""
+    if getattr(T, "linked", False):
+        return T.matvec_linked(level.A, level.d_inv, v)
+    return T.matvec(v)
 
 
 def vcycle(hierarchy, x, b):

@@ -253,9 +253,9 @@ def host_setup(A, config: AMGConfig, dtype=jnp.float32, seed: int = 0,
                     config.sa_omega / max(ol.lam_max, 1e-30), dtype=dtype
                 )
                 scale = jnp.asarray(ol.agg_scale, dtype=dtype).reshape(ol.cdims)
-                P_dev = BlockProlongator(A_dev, d_inv, scale, coef,
+                P_dev = BlockProlongator(None, None, scale, coef,
                                          ol.dims, ol.cdims, config.block_size)
-                R_dev = BlockRestrictor(A_dev, d_inv, scale, coef,
+                R_dev = BlockRestrictor(None, None, scale, coef,
                                         ol.dims, ol.cdims, config.block_size)
             else:
                 P_dev = best_format(CSR.from_scipy(ol.P), dtype=dtype)

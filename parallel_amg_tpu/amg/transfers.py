@@ -42,11 +42,18 @@ def downsample_sum_nd(y, cdims, block):
 
 @jax.tree_util.register_pytree_node_class
 class BlockProlongator:
-    """P @ xc = (I − (ω/λ) D⁻¹ A) upsample(xc · scale); N-D in/out."""
+    """P @ xc = (I − (ω/λ) D⁻¹ A) upsample(xc · scale); N-D in/out.
+
+    Pass A=None/d_inv=None to build a LINKED transfer that borrows the
+    level's operator at apply time (``matvec_linked``) instead of carrying
+    its own copy — otherwise the hierarchy pytree holds the fine operator
+    three times (Level.A, P.A, R.A) and jit relayout-copies each arg
+    separately (observed 3×3.08 GB at 110M DOF).
+    """
 
     def __init__(self, A, d_inv, scale, coef, dims, cdims, block):
-        self.A = A            # the level's Stencil operator
-        self.d_inv = d_inv    # (*dims,)
+        self.A = A            # the level's Stencil operator (or None)
+        self.d_inv = d_inv    # (*dims,) (or None when linked)
         self.scale = scale    # (*cdims,) tentative column norms 1/√|agg|
         self.coef = coef      # traced scalar ω/λ_max
         self.dims = tuple(dims)
@@ -64,6 +71,10 @@ class BlockProlongator:
         return cls(A, d_inv, scale, coef, dims, cdims, block)
 
     @property
+    def linked(self) -> bool:
+        return self.A is None
+
+    @property
     def shape(self):
         return (int(np.prod(self.dims)), int(np.prod(self.cdims)))
 
@@ -71,13 +82,19 @@ class BlockProlongator:
         return jnp.zeros(self.cdims, dtype)
 
     def matvec(self, xc):
+        return self.matvec_linked(self.A, self.d_inv, xc)
+
+    def matvec_linked(self, A, d_inv, xc):
         t = upsample_nd(xc * self.scale, self.dims, self.block)
-        return t - self.coef * (self.d_inv * self.A.matvec(t))
+        return t - self.coef * (d_inv * A.matvec(t))
 
 
 @jax.tree_util.register_pytree_node_class
 class BlockRestrictor:
-    """R @ r = scale · downsample_sum(r − (ω/λ) A (D⁻¹ r)); N-D in/out."""
+    """R @ r = scale · downsample_sum(r − (ω/λ) A (D⁻¹ r)); N-D in/out.
+
+    Supports the same linked (A=None) mode as BlockProlongator.
+    """
 
     def __init__(self, A, d_inv, scale, coef, dims, cdims, block):
         self.A = A
@@ -99,9 +116,16 @@ class BlockRestrictor:
         return cls(A, d_inv, scale, coef, dims, cdims, block)
 
     @property
+    def linked(self) -> bool:
+        return self.A is None
+
+    @property
     def shape(self):
         return (int(np.prod(self.cdims)), int(np.prod(self.dims)))
 
     def matvec(self, r):
-        s = r - self.coef * self.A.matvec(self.d_inv * r)
+        return self.matvec_linked(self.A, self.d_inv, r)
+
+    def matvec_linked(self, A, d_inv, r):
+        s = r - self.coef * A.matvec(d_inv * r)
         return self.scale * downsample_sum_nd(s, self.cdims, self.block)

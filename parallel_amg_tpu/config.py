@@ -78,6 +78,17 @@ class AMGConfig:
     # Keep Galerkin triple products on device when True (Phase-3 on-device
     # setup); False = host (numpy) setup path.
     on_device_setup: bool = False
+    # Structured triple-product engine:
+    #   "dense"    — materialize the full-grid Sᵀ(A S) planes (fastest
+    #                compile; memory ~ D_M·n);
+    #   "bucketed" — transfer-first exact Galerkin: intermediates carry only
+    #                the coarse-offset planes (3^d at b=3) on the fine grid;
+    #   "slab"     — the dense pipeline in axis-0 slabs (for huge n with
+    #                thin stencils, e.g. the ≥100M-DOF fine level);
+    #   "auto"     — pick by estimated intermediate bytes vs the budget.
+    setup_product_path: str = "auto"
+    # Intermediate-memory budget steering "auto" and sizing slabs.
+    setup_chunk_budget_mb: int = 2048
 
     def __post_init__(self):
         if self.coarsening not in ("rs", "sa"):
@@ -86,6 +97,11 @@ class AMGConfig:
             raise ValueError(f"smoother must be 'jacobi'|'chebyshev', got {self.smoother}")
         if self.cycle not in ("V", "W"):
             raise ValueError(f"cycle must be 'V'|'W', got {self.cycle}")
+        if self.setup_product_path not in ("auto", "dense", "bucketed",
+                                           "slab"):
+            raise ValueError(
+                "setup_product_path must be auto|dense|bucketed|slab, got "
+                f"{self.setup_product_path}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,9 +30,17 @@ def amg_pcg(A, hierarchy: Hierarchy, b, tol: float = 1e-8,
     compiled program); the preconditioner is one multigrid cycle per CG
     iteration.  On the structured (stencil) path the whole CG runs in N-D
     grid layout — conversion happens once at entry/exit.
+
+    Pass A=None to solve with the hierarchy's own fine operator — at large
+    n this matters: a separate A argument is a second multi-GB device
+    buffer in the compiled program even when it's the same array (observed
+    2×3.08 GB at 110M DOF).  A non-None A supports mixed precision (f32
+    operator with a lower-precision hierarchy).
     """
     from parallel_amg_tpu.amg.cycle import _cycle
 
+    if A is None:
+        A = hierarchy.levels[0].A
     gamma = 1 if hierarchy.config.cycle == "V" else 2
     bg = hierarchy.to_grid(b)
 

@@ -44,11 +44,13 @@ def test_block_transfers_match_oracle_P(rng):
     h = pat.setup(A, CFG, dims=(20, 20))
     ol, dl = oh.levels[0], h.levels[0]
     xc = rng.normal(size=ol.P.shape[1]).astype(np.float32)
-    got = np.asarray(dl.P.matvec(jnp.asarray(xc).reshape(dl.P.cdims)))
+    got = np.asarray(dl.P.matvec_linked(
+        dl.A, dl.d_inv, jnp.asarray(xc).reshape(dl.P.cdims)))
     np.testing.assert_allclose(got.reshape(-1), ol.P @ xc, rtol=2e-4,
                                atol=2e-5)
     r = rng.normal(size=ol.A.shape[0]).astype(np.float32)
-    got = np.asarray(dl.R.matvec(jnp.asarray(r).reshape(dl.R.dims)))
+    got = np.asarray(dl.R.matvec_linked(
+        dl.A, dl.d_inv, jnp.asarray(r).reshape(dl.R.dims)))
     np.testing.assert_allclose(got.reshape(-1), ol.R @ r, rtol=2e-4,
                                atol=2e-5)
 
@@ -61,11 +63,13 @@ def test_block_transfers_3d(rng):
     h = pat.setup(A, cfg, dims=(9, 9, 9))
     ol, dl = oh.levels[0], h.levels[0]
     xc = rng.normal(size=ol.P.shape[1]).astype(np.float32)
-    got = np.asarray(dl.P.matvec(jnp.asarray(xc).reshape(dl.P.cdims)))
+    got = np.asarray(dl.P.matvec_linked(
+        dl.A, dl.d_inv, jnp.asarray(xc).reshape(dl.P.cdims)))
     np.testing.assert_allclose(got.reshape(-1), ol.P @ xc, rtol=2e-4,
                                atol=2e-5)
     r = rng.normal(size=ol.A.shape[0]).astype(np.float32)
-    got = np.asarray(dl.R.matvec(jnp.asarray(r).reshape(dl.R.dims)))
+    got = np.asarray(dl.R.matvec_linked(
+        dl.A, dl.d_inv, jnp.asarray(r).reshape(dl.R.dims)))
     np.testing.assert_allclose(got.reshape(-1), ol.R @ r, rtol=2e-4,
                                atol=2e-5)
 
