@@ -123,22 +123,42 @@ class Hierarchy:
         return v.reshape(-1) if v.ndim > 1 else v
 
 
-def with_spmv_backend(h: "Hierarchy", backend: str = "pallas") -> "Hierarchy":
+def with_spmv_backend(h: "Hierarchy", backend: str = "mixed") -> "Hierarchy":
     """Swap the level operators' SpMV engine after setup.
 
     backend="pallas" converts every Stencil level operator to the FlatDIA
     streaming Pallas kernel (ops/flatdia.py); backend="xla" converts FlatDIA
-    levels back to the N-D Stencil XLA path.  Transfer operators and
-    smoother data are untouched (they are shape-compatible with both: the
-    formats accept/return N-D grid vectors).
+    levels back to the N-D Stencil XLA path; backend="mixed" picks per level
+    by the measured crossover: the XLA N-D path wins on big thin-stencil
+    levels (its single fused pass reads x once: 78 µs vs 53 µs at 128³
+    7-point, and it wins outright at ≥256³), while the one-kernel FlatDIA
+    stream crushes fat coarse stencils where XLA emits one pad+slice+FMA
+    fusion per plane (full 128³ b=3 V-cycle: 1495 µs all-XLA → 713 µs
+    mixed, measured on v5e).  Transfer operators and smoother data are
+    untouched (both formats accept/return N-D grid vectors).
     """
     from parallel_amg_tpu.ops.flatdia import FlatDIA
     from parallel_amg_tpu.ops.stencil import Stencil
 
+    def want_pallas(A) -> bool:
+        if backend == "pallas":
+            return True
+        if backend == "xla":
+            return False
+        # mixed: fat stencils only.  Thin-stencil levels stay XLA even
+        # though an ISOLATED FlatDIA SpMV beats XLA at 128³ 7-pt (53 vs
+        # 78 µs): inside the cycle XLA fuses the smoother's elementwise
+        # chain into its stencil pass, which a Pallas call boundary forfeits
+        # (all-pallas 1015 µs vs mixed 713 µs, measured).  Never on CPU-mesh
+        # test runs, where the interpreter path is orders slower than XLA.
+        if jax.default_backend() != "tpu":
+            return False
+        return getattr(A, "n_points", 0) >= 9
+
     def convert(A):
-        if backend == "pallas" and isinstance(A, Stencil):
+        if isinstance(A, Stencil) and want_pallas(A):
             return FlatDIA.from_stencil(A)
-        if (backend == "xla" and isinstance(A, FlatDIA) and A.dims
+        if (isinstance(A, FlatDIA) and not want_pallas(A) and A.dims
                 and A.nd_offsets is not None):
             W = A.diags[:, : A.n].reshape((A.n_points,) + A.dims)
             return Stencil(W, A.nd_offsets, A.dims)
