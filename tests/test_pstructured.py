@@ -82,10 +82,14 @@ def test_distributed_structured_vcycle_matches_single(mesh8, rng):
     h1 = pat.setup(A, CFG, dims=dims)
     h8 = structured_distributed_setup(A, CFG, mesh8, dims)
     b = rng.normal(size=A.shape[0])
-    x1 = pat.vcycle(h1, jnp.zeros(A.shape[0], jnp.float32),
-                    jnp.asarray(b, jnp.float32))
+    # jit the whole cycle: eager op-by-op dispatch on the 8-device CPU mesh
+    # compiles every collective micro-program separately (~18 min for this
+    # test); one jitted program compiles in seconds.
+    cycle = jax.jit(pat.vcycle)
+    x1 = cycle(h1, jnp.zeros(A.shape[0], jnp.float32),
+               jnp.asarray(b, jnp.float32))
     bd = distribute_grid(b, dims, h8, mesh8)
-    x8 = pat.vcycle(h8, jnp.zeros_like(bd), bd)
+    x8 = cycle(h8, jnp.zeros_like(bd), bd)
     np.testing.assert_allclose(
         collect_grid(x8, dims), np.asarray(x1), rtol=5e-4, atol=5e-5
     )
