@@ -78,6 +78,13 @@ class AMGConfig:
     # Keep Galerkin triple products on device when True (Phase-3 on-device
     # setup); False = host (numpy) setup path.
     on_device_setup: bool = False
+    # Distributed (PCSR) hierarchies: levels with at most this many rows are
+    # agglomerated — replicated onto every device and solved redundantly
+    # (identical compute per shard, zero collectives below the boundary)
+    # instead of staying row-sharded where each tiny matvec pays an
+    # all-to-all latency.  The coarse-grid re-partitioning of
+    # SURVEY.md §2.1/§2.5 taken to its TPU-native endpoint.  0 disables.
+    agglomerate_n: int = 2048
     # Structured triple-product engine:
     #   "dense"    — materialize the full-grid Sᵀ(A S) planes (fastest
     #                compile; memory ~ D_M·n);

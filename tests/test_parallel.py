@@ -140,3 +140,41 @@ def test_spmv_hlo_has_no_full_allgather(mesh8):
     n_pad = Ap.row_partition.n_padded
     # no full-vector gather: all-gather of shape f32[n_pad] must not appear
     assert f"all-gather(f32[{n_pad}]" not in hlo
+
+
+def test_agglomerated_coarse_levels(mesh8, rng):
+    """Coarse-level agglomeration (SURVEY.md §2.1 repartitioner): levels at
+    or below agglomerate_n are replicated and solved redundantly.  The
+    answer must match the fully-sharded hierarchy, and the compiled cycle
+    must carry strictly fewer collectives."""
+    from parallel_amg_tpu.parallel.psetup import ReshardedTransfer
+
+    A = _scipy(poisson2d(24))
+    base = dict(coarsening="rs", n_coarse_max=32)
+    h_shard = distributed_setup(A, AMGConfig(agglomerate_n=0, **base), mesh8)
+    h_aggl = distributed_setup(A, AMGConfig(agglomerate_n=256, **base), mesh8)
+    assert all(isinstance(l.A, PCSR) for l in h_shard.levels)
+    kinds = [isinstance(l.A, PCSR) for l in h_aggl.levels]
+    assert kinds[0] and not kinds[-1], kinds
+    boundary = kinds.index(False) - 1
+    assert isinstance(h_aggl.levels[boundary].P, ReshardedTransfer)
+
+    b = rng.normal(size=A.shape[0])
+    part = h_shard.levels[0].A.row_partition
+    bd = pvector(b, part, mesh8)
+    cycle = jax.jit(pat.vcycle)
+    x_s = to_global(cycle(h_shard, jnp.zeros_like(bd), bd), part)
+    x_a = to_global(cycle(h_aggl, jnp.zeros_like(bd), bd), part)
+    np.testing.assert_allclose(x_a, x_s, rtol=5e-4, atol=5e-5)
+
+    def n_collectives(h):
+        hlo = cycle.lower(h, jnp.zeros_like(bd), bd).compile().as_text()
+        return sum(hlo.count(op) for op in ("all-to-all", "all-gather",
+                                            "collective-permute"))
+
+    assert n_collectives(h_aggl) < n_collectives(h_shard)
+
+    res = pat.amg_pcg(h_aggl.levels[0].A, h_aggl, bd, tol=1e-6, maxiter=60)
+    assert bool(res.converged)
+    x = to_global(res.x, part).astype(np.float64)
+    assert np.linalg.norm(b - A @ x) <= 5e-6 * np.linalg.norm(b)
