@@ -161,7 +161,7 @@ def galerkin_block(M: Stencil, cdims, block: int, scale,
 
 def _slab_coarse_operator(W_ext, d_ext, scale_ext, coef, ca, *,
                           offsets, dims_slab, cdims_slab, block, halo,
-                          rc, it):
+                          rc, it, mask=None):
     """One axis-0 slab of the Galerkin triple product (jitted once; the
     slab start ``ca`` is a traced arg so every interior slab reuses the
     same executable).
@@ -171,6 +171,15 @@ def _slab_coarse_operator(W_ext, d_ext, scale_ext, coef, ca, *,
     the coarse normalization padded by ``rc`` rows both ends.  Returns the
     slab's coarse planes — exact, because every shift that could touch a
     slab edge stays inside the halo (halo = 2·reach of Sᵀ(A S)).
+
+    ``mask`` (optional, in slab coordinates: shape broadcastable to
+    ``dims_slab``) zeroes the rows of M = sym(Sᵀ A S) belonging to
+    axis-0 PADDING of a sharded grid before the pooled Galerkin reduction
+    — the tentative prolongator then aggregates only true fine cells
+    (the distributed setup path, parallel/pdevice_setup.py).  M has no
+    true↔padding coupling (padding carries an identity diagonal), so
+    masking rows alone reproduces the masked-Tᵀ·M·masked-T product
+    exactly.
     """
     nd = len(dims_slab)
     b = block
@@ -185,6 +194,8 @@ def _slab_coarse_operator(W_ext, d_ext, scale_ext, coef, ca, *,
     St = smoothing_operator_T(A_s, ds, coef)
     AS = sparsify_stencil(A_s.matmul(S), it)
     M = symmetrize_stencil(sparsify_stencil(St.matmul(AS), it))
+    if mask is not None:
+        M = Stencil(M.weights * mask[None], M.offsets, M.dims)
     # crop the halo: the galerkin reduction only reads fine rows
     # [halo, halo + cc·b) which are exact
     inner = (cdims_slab[0] * b,) + dims_slab[1:]

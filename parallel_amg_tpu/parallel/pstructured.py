@@ -40,9 +40,21 @@ def _grid_sharding(mesh):
 @jax.tree_util.register_pytree_node_class
 class SBlockProlongator:
     """Sharded P @ xc = (I − coef·D⁻¹A) upsample(xc · scale); all-local
-    upsample (axis-0 blocks are shard-aligned), halo only inside A.matvec."""
+    upsample (axis-0 blocks are shard-aligned), halo only inside A.matvec.
 
-    def __init__(self, A, d_inv, scale, coef, dims, cdims, block, mesh):
+    Pass A=None/d_inv=None for a LINKED transfer that borrows the level's
+    operator at apply time (amg/cycle.py `_apply_transfer`) so the
+    hierarchy pytree holds the fine operator exactly once.
+
+    ``true_d0`` (optional): true (unpadded) axis-0 extent of the fine grid.
+    When set, the tentative upsample is masked to the true rows, keeping
+    axis-0 padding cells exactly zero through the whole cycle — required by
+    the on-device distributed setup (parallel/pdevice_setup.py), whose
+    coarse Galerkin operators aggregate only true fine cells.
+    """
+
+    def __init__(self, A, d_inv, scale, coef, dims, cdims, block, mesh,
+                 true_d0=None):
         self.A = A
         self.d_inv = d_inv
         self.scale = scale
@@ -51,16 +63,21 @@ class SBlockProlongator:
         self.cdims = tuple(cdims)   # padded coarse dims
         self.block = int(block)
         self.mesh = mesh
+        self.true_d0 = None if true_d0 is None else int(true_d0)
 
     def tree_flatten(self):
         return ((self.A, self.d_inv, self.scale, self.coef),
-                (self.dims, self.cdims, self.block, self.mesh))
+                (self.dims, self.cdims, self.block, self.mesh,
+                 self.true_d0))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         A, d_inv, scale, coef = children
-        dims, cdims, block, mesh = aux
-        return cls(A, d_inv, scale, coef, dims, cdims, block, mesh)
+        return cls(A, d_inv, scale, coef, *aux)
+
+    @property
+    def linked(self) -> bool:
+        return self.A is None
 
     @property
     def shape(self):
@@ -72,25 +89,41 @@ class SBlockProlongator:
         )
 
     def matvec(self, xc):
-        block, dims = self.block, self.dims
+        return self.matvec_linked(self.A, self.d_inv, xc)
+
+    def matvec_linked(self, A, d_inv, xc):
+        block, dims, true_d0 = self.block, self.dims, self.true_d0
         local_fine = (dims[0] // self.mesh.devices.size,) + dims[1:]
 
         def up_local(xl, sl):
-            return upsample_nd(xl * sl, local_fine, block)
+            t = upsample_nd(xl * sl, local_fine, block)
+            if true_d0 is not None:
+                g0 = jax.lax.axis_index(ROW_AXIS) * local_fine[0]
+                gi = g0 + jax.lax.iota(jnp.int32, local_fine[0])
+                mask = (gi < true_d0).astype(t.dtype)
+                t = t * mask.reshape((-1,) + (1,) * (len(dims) - 1))
+            return t
 
         t = jax.shard_map(
             up_local, mesh=self.mesh,
             in_specs=(P(ROW_AXIS), P(ROW_AXIS)),
             out_specs=P(ROW_AXIS),
         )(xc, self.scale)
-        return t - self.coef * (self.d_inv * self.A.matvec(t))
+        return t - self.coef * (d_inv * A.matvec(t))
 
 
 @jax.tree_util.register_pytree_node_class
 class SBlockRestrictor:
-    """Sharded R @ r = scale · downsample(r − coef·A(D⁻¹ r))."""
+    """Sharded R @ r = scale · downsample(r − coef·A(D⁻¹ r)).
 
-    def __init__(self, A, d_inv, scale, coef, dims, cdims, block, mesh):
+    Supports the same linked (A=None) mode as :class:`SBlockProlongator`.
+    No true-extent mask is needed on the restriction side: with zero RHS
+    and zero iterates on padding rows (the prolongator's mask invariant)
+    the residual is identically zero there.
+    """
+
+    def __init__(self, A, d_inv, scale, coef, dims, cdims, block, mesh,
+                 true_d0=None):
         self.A = A
         self.d_inv = d_inv
         self.scale = scale
@@ -99,26 +132,34 @@ class SBlockRestrictor:
         self.cdims = tuple(cdims)
         self.block = int(block)
         self.mesh = mesh
+        self.true_d0 = None if true_d0 is None else int(true_d0)
 
     def tree_flatten(self):
         return ((self.A, self.d_inv, self.scale, self.coef),
-                (self.dims, self.cdims, self.block, self.mesh))
+                (self.dims, self.cdims, self.block, self.mesh,
+                 self.true_d0))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         A, d_inv, scale, coef = children
-        dims, cdims, block, mesh = aux
-        return cls(A, d_inv, scale, coef, dims, cdims, block, mesh)
+        return cls(A, d_inv, scale, coef, *aux)
+
+    @property
+    def linked(self) -> bool:
+        return self.A is None
 
     @property
     def shape(self):
         return (int(np.prod(self.cdims)), int(np.prod(self.dims)))
 
     def matvec(self, r):
+        return self.matvec_linked(self.A, self.d_inv, r)
+
+    def matvec_linked(self, A, d_inv, r):
         block, cdims = self.block, self.cdims
         local_coarse = (cdims[0] // self.mesh.devices.size,) + cdims[1:]
 
-        s = r - self.coef * self.A.matvec(self.d_inv * r)
+        s = r - self.coef * A.matvec(d_inv * r)
 
         def down_local(sl, scl):
             return scl * downsample_sum_nd(sl, local_coarse, block)
