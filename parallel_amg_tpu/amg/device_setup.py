@@ -210,15 +210,24 @@ def _slab_coarse_operator(W_ext, d_ext, scale_ext, coef, ca, *,
     return galerkin_block(Mc, cdims_slab, b, ssl, scale_halo0=rc).weights
 
 
-def triple_product_offsets(A: Stencil):
-    """Static fine-offset set of sym(Sᵀ(A S)) — sizes the dense path."""
-    nd = len(A.dims)
-    s_offs = sorted(set(A.offsets) | {tuple(0 for _ in range(nd))})
+def product_offsets(offsets, nd: int):
+    """Static fine-offset set of sym(Sᵀ(A S)) given A's offsets.
+
+    Single source of truth for the triple-product offset algebra — the
+    distributed setup (parallel/pdevice_setup.py) sizes its halos from the
+    same function so the two paths cannot drift.
+    """
+    s_offs = sorted(set(offsets) | {tuple(0 for _ in range(nd))})
     as_offs = sorted({tuple(a[i] + s[i] for i in range(nd))
-                      for a in A.offsets for s in s_offs})
+                      for a in offsets for s in s_offs})
     m_offs = sorted({tuple(a[i] + s[i] for i in range(nd))
                      for a in s_offs for s in as_offs})
     return sorted(set(m_offs) | {tuple(-c for c in o) for o in m_offs})
+
+
+def triple_product_offsets(A: Stencil):
+    """Static fine-offset set of sym(Sᵀ(A S)) — sizes the dense path."""
+    return product_offsets(A.offsets, len(A.dims))
 
 
 # Dense-path intermediates above this size risk XLA's memory-pressure
@@ -483,13 +492,22 @@ def sparsify_stencil(A: Stencil, tol: float) -> Stencil:
     return Stencil(W, A.offsets, A.dims)
 
 
+def zero_plane_keep_mask(weights, offsets, nd: int):
+    """Host bool mask of offset planes to keep (diagonal always kept).
+
+    One tiny host sync of a norm-per-plane vector; shared between the
+    single-device and sharded prune paths.
+    """
+    norms = np.asarray(jnp.sum(jnp.abs(weights),
+                               axis=tuple(range(1, 1 + nd))))
+    keep = norms > 0
+    keep[offsets.index(tuple(0 for _ in range(nd)))] = True
+    return keep
+
+
 def _prune_zero_planes(A: Stencil) -> Stencil:
     """Drop all-zero offset planes (host sync of a tiny norm vector)."""
-    norms = np.asarray(jnp.sum(jnp.abs(A.weights), axis=tuple(
-        range(1, 1 + len(A.dims)))))
-    keep = norms > 0
-    zero = tuple(0 for _ in A.dims)
-    keep[A.offsets.index(zero)] = True  # always keep the diagonal
+    keep = zero_plane_keep_mask(A.weights, A.offsets, len(A.dims))
     if keep.all():
         return A
     return A.prune(keep.tolist())

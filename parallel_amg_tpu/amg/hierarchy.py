@@ -27,26 +27,37 @@ class Level:
     ``P``/``R`` are ``None`` on the coarsest level.  ``lam_max`` is the
     λ_max(D⁻¹A) estimate used by Chebyshev smoothing (0.0 when unused) —
     a traced scalar so re-setup does not retrigger compilation.
+
+    ``true_n`` (static aux, optional): the LOGICAL row count when the level
+    operator is padded (sharded grids pad axis 0; PCSR pads to S·m) —
+    complexity diagnostics must count true rows, not padding
+    (SURVEY.md §4.5(c)).
     """
 
     def __init__(self, A: ELL, P: Optional[ELL], R: Optional[ELL],
-                 d_inv, lam_max):
+                 d_inv, lam_max, true_n: Optional[int] = None):
         self.A = A
         self.P = P
         self.R = R
         self.d_inv = d_inv
         self.lam_max = lam_max
+        self.true_n = int(true_n) if true_n is not None else None
 
     def tree_flatten(self):
-        return (self.A, self.P, self.R, self.d_inv, self.lam_max), None
+        return ((self.A, self.P, self.R, self.d_inv, self.lam_max),
+                self.true_n)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, true_n=aux)
 
     @property
     def n(self) -> int:
-        return self.A.n_rows
+        """Logical (unpadded) row count of this level."""
+        if self.true_n is not None:
+            return self.true_n
+        ts = getattr(self.A, "true_shape", None)
+        return ts[0] if ts is not None else self.A.n_rows
 
 
 def coarse_inverse(dense, rel_tol: float = 1e-6):
@@ -99,9 +110,18 @@ class Hierarchy:
         return len(self.levels)
 
     def complexity(self):
-        """(grid_complexity, operator_complexity) — host-side diagnostics."""
-        rows = [l.A.n_rows for l in self.levels]
-        nnz = [int(np.asarray(l.A.nnz)) for l in self.levels]
+        """(grid_complexity, operator_complexity) — host-side diagnostics.
+
+        Counts TRUE rows/nnz: padded rows (sharded axis-0 padding, PCSR
+        S·m alignment) carry one identity entry each, so both counts
+        subtract the padding contribution (SURVEY.md §4.5(c) asks for
+        grid/operator complexity < ~2.5 on the acceptance configs).
+        """
+        rows = [l.n for l in self.levels]
+        nnz = []
+        for l in self.levels:
+            pad = l.A.shape[0] - l.n  # identity padding rows
+            nnz.append(int(np.asarray(l.A.nnz)) - max(pad, 0))
         return sum(rows) / rows[0], sum(nnz) / nnz[0]
 
     # -- structured-path shape adapters ----------------------------------
@@ -165,7 +185,7 @@ def with_spmv_backend(h: "Hierarchy", backend: str = "mixed") -> "Hierarchy":
         return A
 
     levels = [Level(A=convert(l.A), P=l.P, R=l.R, d_inv=l.d_inv,
-                    lam_max=l.lam_max) for l in h.levels]
+                    lam_max=l.lam_max, true_n=l.true_n) for l in h.levels]
     return Hierarchy(levels, h.coarse_inv, h.config)
 
 

@@ -63,6 +63,18 @@ def sa_strength(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
 UNDECIDED, FINE, COARSE = 0, 1, 2
 
 
+def _rowwise_max(csr: sp.csr_matrix, per_col: np.ndarray,
+                 empty: float = -1.0) -> np.ndarray:
+    """max_j∈row(i) per_col[j] for each row (``empty`` for empty rows) —
+    one reduceat over the nonempty-row segment starts (bulk, no node loop)."""
+    out = np.full(csr.shape[0], empty)
+    nonempty = np.diff(csr.indptr) > 0
+    if csr.nnz:
+        out[nonempty] = np.maximum.reduceat(
+            per_col[csr.indices], csr.indptr[:-1][nonempty])
+    return out
+
+
 def pmis_split(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     """PMIS splitting on strength graph S. Returns array of FINE/COARSE.
 
@@ -70,6 +82,10 @@ def pmis_split(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     of w over the undecided strong neighborhood become C; undecided points
     strongly depending on a new C point become F (so every F point has at
     least one strong C neighbor — required by direct interpolation).
+
+    Fully vectorized (rowwise-max reduceat + SpMV indicator products) so the
+    f64 oracle runs at the acceptance scales (1024² = 1M rows in ~seconds;
+    the former per-node Python loops were O(n·rounds) interpreted).
     """
     n = S.shape[0]
     rng = np.random.default_rng(seed)
@@ -87,22 +103,13 @@ def pmis_split(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
         und = state == UNDECIDED
         if not und.any():
             break
-        # local max among undecided neighbors
-        is_max = und.copy()
-        indptr, indices = G.indptr, G.indices
-        for i in np.flatnonzero(und):
-            nbrs = indices[indptr[i] : indptr[i + 1]]
-            nbrs = nbrs[state[nbrs] == UNDECIDED]
-            if nbrs.size and w[nbrs].max() > w[i]:
-                is_max[i] = False
-        state[is_max] = COARSE
+        # local max among undecided neighbors (synchronous round)
+        w_und = np.where(und, w, -np.inf)
+        nbr_max = _rowwise_max(G, w_und, empty=-np.inf)
+        state[und & (w > nbr_max)] = COARSE
         # F assignment: undecided with a strong C neighbor (dependence: S row)
-        und = state == UNDECIDED
-        Sr_indptr, Sr_indices = S.indptr, S.indices
-        for i in np.flatnonzero(und):
-            nbrs = Sr_indices[Sr_indptr[i] : Sr_indptr[i + 1]]
-            if (state[nbrs] == COARSE).any():
-                state[i] = FINE
+        has_c = (S @ (state == COARSE).astype(np.float64)) > 0
+        state[(state == UNDECIDED) & has_c] = FINE
     assert (state != UNDECIDED).all(), "PMIS did not terminate"
     return state
 
@@ -114,23 +121,30 @@ def pmis_split(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
 def truncate_P(P: sp.csr_matrix, p_max: int) -> sp.csr_matrix:
     """Keep the p_max largest-|w| entries per row, rescaled so row sums are
     preserved (constant-vector preservation).  Bounds operator complexity and
-    gives interpolation a static maximum row width for the device ELL view."""
+    gives interpolation a static maximum row width for the device ELL view.
+
+    Vectorized: one global sort by (row, -|w|) + rank-within-row mask."""
     P = P.tocsr()
-    indptr, indices, data = P.indptr, P.indices, P.data
-    new_rows, new_cols, new_vals = [], [], []
-    for i in range(P.shape[0]):
-        lo, hi = indptr[i], indptr[i + 1]
-        w = data[lo:hi]
-        c = indices[lo:hi]
-        if w.size > p_max:
-            keep = np.argsort(-np.abs(w))[:p_max]
-            total, kept = w.sum(), w[keep].sum()
-            scale = total / kept if kept != 0 else 1.0
-            w, c = w[keep] * scale, c[keep]
-        new_rows.extend([i] * len(w))
-        new_cols.extend(c)
-        new_vals.extend(w)
-    return sp.csr_matrix((new_vals, (new_rows, new_cols)), shape=P.shape)
+    n = P.shape[0]
+    row_nnz = np.diff(P.indptr)
+    if not P.nnz or row_nnz.max() <= p_max:
+        return P
+    rows = np.repeat(np.arange(n), row_nnz)
+    # stable sort by |w| descending within each row
+    order = np.lexsort((-np.abs(P.data), rows))
+    rows_s, cols_s, vals_s = rows[order], P.indices[order], P.data[order]
+    rank = np.arange(P.nnz) - np.repeat(P.indptr[:-1], row_nnz)
+    keep = rank < p_max
+    # rescale kept weights so the row sums are preserved
+    total = np.zeros(n)
+    np.add.at(total, rows, P.data)
+    kept_sum = np.zeros(n)
+    np.add.at(kept_sum, rows_s[keep], vals_s[keep])
+    scale = np.where(kept_sum != 0, total / np.where(kept_sum == 0, 1.0,
+                                                     kept_sum), 1.0)
+    return sp.csr_matrix(
+        (vals_s[keep] * scale[rows_s[keep]], (rows_s[keep], cols_s[keep])),
+        shape=P.shape)
 
 
 def extended_i_interpolation(
@@ -222,52 +236,52 @@ def direct_interpolation(
     cmap[coarse] = np.arange(coarse.size)
     nc = coarse.size
 
-    S_bool = S.tocsr()
-    rows, cols, vals = [], [], []
-    for i in range(n):
-        if state[i] == COARSE:
-            rows.append(i)
-            cols.append(cmap[i])
-            vals.append(1.0)
-            continue
-        a_cols = A.indices[A.indptr[i] : A.indptr[i + 1]]
-        a_vals = A.data[A.indptr[i] : A.indptr[i + 1]]
-        s_cols = set(S_bool.indices[S_bool.indptr[i] : S_bool.indptr[i + 1]])
-        diag = 0.0
-        sum_n_neg = sum_n_pos = 0.0  # all neighbors
-        sum_c_neg = sum_c_pos = 0.0  # strong coarse neighbors
-        strong_c = []
-        for j, a in zip(a_cols, a_vals):
-            if j == i:
-                diag += a
-                continue
-            if a < 0:
-                sum_n_neg += a
-            else:
-                sum_n_pos += a
-            if j in s_cols and state[j] == COARSE:
-                strong_c.append((j, a))
-                if a < 0:
-                    sum_c_neg += a
-                else:
-                    sum_c_pos += a
-        if not strong_c:
-            raise RuntimeError(
-                f"F-point {i} has no strong coarse neighbor (bad splitting)"
-            )
-        alpha = sum_n_neg / sum_c_neg if sum_c_neg != 0 else 0.0
-        beta = sum_n_pos / sum_c_pos if sum_c_pos != 0 else 0.0
-        # positive weak connections with no positive strong C to absorb them:
-        # lump onto the diagonal (standard fix)
-        if sum_c_pos == 0.0:
-            diag += sum_n_pos
-        for j, a in strong_c:
-            coef = alpha if a < 0 else beta
-            w = -coef * a / diag
-            if w != 0.0:
-                rows.append(i)
-                cols.append(cmap[j])
-                vals.append(w)
+    # vectorized over the COO triplets (no node loop): per-row neg/pos sums
+    # over all neighbors and over strong-C neighbors, then one weight per
+    # strong-C entry
+    coo = A.tocoo()
+    r, c, v = coo.row, coo.col, coo.data
+    offd = r != c
+    # strong mask per A-entry: entry (r,c) is strong iff (r,c) ∈ S —
+    # joint (row·n + col) key membership test, one global sorted isin
+    S_coo = S.tocoo()
+    a_key = r.astype(np.int64) * n + c
+    s_key = S_coo.row.astype(np.int64) * n + S_coo.col
+    strong_entry = np.isin(a_key, s_key)
+    is_c_col = state[c] == COARSE
+    strong_c = offd & strong_entry & is_c_col
+
+    neg, pos = offd & (v < 0), offd & (v > 0)
+    sum_n_neg = np.zeros(n); np.add.at(sum_n_neg, r[neg], v[neg])
+    sum_n_pos = np.zeros(n); np.add.at(sum_n_pos, r[pos], v[pos])
+    sum_c_neg = np.zeros(n); np.add.at(sum_c_neg, r[strong_c & neg],
+                                       v[strong_c & neg])
+    sum_c_pos = np.zeros(n); np.add.at(sum_c_pos, r[strong_c & pos],
+                                       v[strong_c & pos])
+    diag = A.diagonal().astype(np.float64)
+
+    fine = state != COARSE
+    has_sc = np.zeros(n, dtype=bool)
+    has_sc[r[strong_c]] = True
+    if not has_sc[fine].all():
+        bad = int(np.flatnonzero(fine & ~has_sc)[0])
+        raise RuntimeError(
+            f"F-point {bad} has no strong coarse neighbor (bad splitting)")
+
+    # positive weak connections with no positive strong C to absorb them:
+    # lump onto the diagonal (standard fix)
+    diag = diag + np.where(sum_c_pos == 0.0, sum_n_pos, 0.0)
+    alpha = np.where(sum_c_neg != 0, sum_n_neg / np.where(sum_c_neg == 0,
+                                                          1.0, sum_c_neg), 0.0)
+    beta = np.where(sum_c_pos != 0, sum_n_pos / np.where(sum_c_pos == 0,
+                                                         1.0, sum_c_pos), 0.0)
+    sel = strong_c & fine[r]
+    coef = np.where(v[sel] < 0, alpha[r[sel]], beta[r[sel]])
+    w = -coef * v[sel] / diag[r[sel]]
+    nz = w != 0.0
+    rows = np.concatenate([coarse, r[sel][nz]])
+    cols = np.concatenate([cmap[coarse], cmap[c[sel][nz]]])
+    vals = np.concatenate([np.ones(coarse.size), w[nz]])
     P = sp.csr_matrix((vals, (rows, cols)), shape=(n, nc))
     return P
 

@@ -40,8 +40,10 @@ from parallel_amg_tpu.amg.device_setup import (
     _slab_coarse_operator,
     device_structured_setup,
     galerkin_out_offsets,
+    product_offsets,
     sparsify_stencil,
     symmetrize_stencil,
+    zero_plane_keep_mask,
 )
 from parallel_amg_tpu.amg.hierarchy import Hierarchy, Level
 from parallel_amg_tpu.amg.transfers import downsample_sum_nd
@@ -82,17 +84,11 @@ def _halo_concat(x, h: int, axis: int):
 
 
 # ---------------------------------------------------------------------------
-# static offset algebra (mirrors chunked_coarse_operator's host-side math)
+# static offset algebra — shared with the single-device engine so the halo
+# sizing of the two paths cannot drift (amg/device_setup.product_offsets)
 # ---------------------------------------------------------------------------
 
-def _product_offsets(offsets, nd: int):
-    """Offset set of sym(Sᵀ (A S)) given A's offsets."""
-    s_offs = sorted(set(offsets) | {tuple(0 for _ in range(nd))})
-    as_offs = sorted({tuple(a[i] + s[i] for i in range(nd))
-                      for a in offsets for s in s_offs})
-    m_offs = sorted({tuple(a[i] + s[i] for i in range(nd))
-                     for a in s_offs for s in as_offs})
-    return sorted(set(m_offs) | {tuple(-c for c in o) for o in m_offs})
+_product_offsets = product_offsets
 
 
 # ---------------------------------------------------------------------------
@@ -108,6 +104,9 @@ def sharded_coarse_operator(A: ShardedStencil, d_inv, coef, scale, cdims,
     nd = len(A.dims)
     b = block
     S_n = mesh.devices.size
+    assert A.dims[0] % S_n == 0, (
+        f"axis-0 extent {A.dims[0]} must be divisible by the shard count "
+        f"{S_n} (pad the grid — see plan_sharded_levels)")
     m0 = A.dims[0] // S_n
     sym_offs = _product_offsets(A.offsets, nd)
     halo = 2 * max(abs(o[0]) for o in sym_offs)
@@ -171,10 +170,7 @@ def _sharded_sparsify_sym(A: ShardedStencil, tol: float) -> ShardedStencil:
 
 def _sharded_prune(A: ShardedStencil) -> ShardedStencil:
     """Drop globally all-zero offset planes (one tiny host sync)."""
-    norms = np.asarray(jnp.sum(jnp.abs(A.weights),
-                               axis=tuple(range(1, 1 + len(A.dims)))))
-    keep = norms > 0
-    keep[A.offsets.index(tuple(0 for _ in A.dims))] = True
+    keep = zero_plane_keep_mask(A.weights, A.offsets, len(A.dims))
     if keep.all():
         return A
     idx = jnp.asarray(np.where(keep)[0])
@@ -295,13 +291,30 @@ class SBoundaryRestrictor:
 # device-born sharded problem generators
 # ---------------------------------------------------------------------------
 
+def setup_halo_schedule(n_levels: int, block: int, reach0: int = 1):
+    """Per-level axis-0 setup halo (planes) from the static offset algebra.
+
+    The slab Galerkin kernel needs halo_l = 2·(axis-0 reach of sym(SᵀAS))
+    = 6·r_l planes at level l, and the coarse operator's reach follows the
+    Galerkin pooling: r_{l+1} = (b−1+3·r_l)//b (matches
+    ``product_offsets`` + ``galerkin_out_offsets`` for a reach-r operator;
+    constant 1 at b=3, growing at b=2).
+    """
+    halos, r = [], reach0
+    for _ in range(n_levels):
+        halos.append(6 * r)
+        r = (block - 1 + 3 * r) // block
+    return halos
+
+
 def plan_sharded_levels(dims, config: AMGConfig, n_shards: int,
-                        max_pad_frac: float = 0.2):
+                        max_pad_frac: float = 0.2, reach0: int = 1):
     """(n_sharded_levels, padded axis-0 extent) for a grid of ``dims``.
 
     Keeps a level sharded while it is larger than ``config.agglomerate_n``,
     subject to: whole blocks per shard at every sharded level, slab ≥ the
-    setup halo, and axis-0 padding overhead ≤ ``max_pad_frac``.
+    setup halo at that level (derived from the triple-product offset
+    algebra — ``setup_halo_schedule``), and axis-0 padding ≤ ``max_pad_frac``.
     """
     b = config.block_size
     thresh = max(config.agglomerate_n, config.n_coarse_max)
@@ -314,13 +327,15 @@ def plan_sharded_levels(dims, config: AMGConfig, n_shards: int,
         L += 1
         cur = nxt
     L = max(L, 1)
-    # setup halo ≈ 6·reach per level (see sharded_coarse_operator): require
-    # the COARSEST sharded level's slab to hold it, and bound the padding
+    # every sharded level's slab must hold that level's setup halo, and the
+    # alignment padding must stay bounded
     while L > 1:
         align = n_shards * b ** L
         d0p = -(-dims[0] // align) * align
-        if (d0p / dims[0] - 1.0) <= max_pad_frac \
-                and d0p // (n_shards * b ** (L - 1)) >= 6:
+        halos = setup_halo_schedule(L, b, reach0)
+        slabs_ok = all(
+            d0p // (n_shards * b ** l) >= halos[l] for l in range(L))
+        if (d0p / dims[0] - 1.0) <= max_pad_frac and slabs_ok:
             break
         L -= 1
     align = n_shards * b ** L
@@ -454,7 +469,7 @@ def sharded_device_setup(A, config: AMGConfig, mesh=None, true_dims=None,
         sym_offs = _product_offsets(A.offsets, len(A.dims))
         halo = 2 * max(abs(o[0]) for o in sym_offs)
         nxt_true = tuple(-(-t // b) for t in true_d)
-        can_shard = (m0 % b == 0 and halo <= m0
+        can_shard = (A.dims[0] % S_n == 0 and m0 % b == 0 and halo <= m0
                      and (A.dims[0] // b) % S_n == 0)
         if int(np.prod(true_d)) <= thresh or not can_shard:
             break
@@ -474,7 +489,8 @@ def sharded_device_setup(A, config: AMGConfig, mesh=None, true_dims=None,
                                   b, mesh, true_d0=true_d[0])
         R_dev = SBlockRestrictor(None, None, scale, coef, A.dims, cdims,
                                  b, mesh)
-        levels.append(Level(A, P_dev, R_dev, d_inv, lam))
+        levels.append(Level(A, P_dev, R_dev, d_inv, lam,
+                            true_n=int(np.prod(true_d))))
         A = A_c
         true_d = nxt_true
 
@@ -493,5 +509,5 @@ def sharded_device_setup(A, config: AMGConfig, mesh=None, true_dims=None,
             last.A,
             SBoundaryProlongator(last.P, true_d),
             SBoundaryRestrictor(last.R, true_d),
-            last.d_inv, last.lam_max)
+            last.d_inv, last.lam_max, true_n=last.true_n)
     return Hierarchy(levels + tail_levels, coarse_inv, config)

@@ -251,7 +251,8 @@ def structured_distributed_setup(A, config: AMGConfig, mesh, dims,
             R_dev = SBlockRestrictor(A_dev, d_inv, scale, coef, pdims,
                                      pcdims, b, mesh)
         levels.append(Level(A=A_dev, P=P_dev, R=R_dev, d_inv=d_inv,
-                            lam_max=lam))
+                            lam_max=lam,
+                            true_n=int(np.prod(_true_dims(oh, i, dims)))))
 
     # replicated dense coarse factor over the padded coarse grid
     cdims_pad = level_dims[-1]

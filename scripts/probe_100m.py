@@ -38,4 +38,6 @@ def main():
     print(f"pcg: iters={int(res.iters)} converged={bool(res.converged)} "
           f"{time.perf_counter()-t0:.1f}s", flush=True)
 
-main()
+
+if __name__ == "__main__":
+    main()
