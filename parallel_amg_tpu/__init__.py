@@ -24,7 +24,7 @@ from parallel_amg_tpu.ops.csr import CSR
 from parallel_amg_tpu.ops.coo import COO
 from parallel_amg_tpu.ops.ell import ELL
 from parallel_amg_tpu.amg import setup, vcycle, solve, Hierarchy
-from parallel_amg_tpu.solver import amg_pcg, amg_fgmres
+from parallel_amg_tpu.solver import amg_pcg, amg_pcg_mp, amg_fgmres
 
 __all__ = [
     "AMGConfig",
@@ -37,5 +37,6 @@ __all__ = [
     "solve",
     "Hierarchy",
     "amg_pcg",
+    "amg_pcg_mp",
     "amg_fgmres",
 ]
