@@ -197,6 +197,80 @@ def bench_amg(nx=128):
     }
 
 
+def bench_bsr(nx=128, bs=3):
+    """BSR workload (BASELINE.json:5,11 "BSR blocks"): the 3-DOF coupled
+    vector Laplacian at nx³ nodes.  Measures every BSR SpMV engine —
+    the general Pallas block-TWELL kernel, the einsum block-ELL reference,
+    the structured BlockStencil Kronecker path — and runs AMG-PCG on the
+    vector system with the fine level applied as stored BSR."""
+    import jax
+    import jax.numpy as jnp
+
+    import parallel_amg_tpu as pat
+    from parallel_amg_tpu.amg.vector import setup_vector_kron
+    from parallel_amg_tpu.ops.bstencil import (
+        BlockStencil,
+        bsr_from_kron_stencil,
+        BSRGridOperator,
+    )
+    from parallel_amg_tpu.problems.elasticity import coupled_laplacian
+    from parallel_amg_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    dims = (nx, nx, nx)
+    L, C = coupled_laplacian(dims, bs, 0.3)
+    n_nodes = int(np.prod(dims))
+    n = n_nodes * bs
+    out = {"n": n, "bs": bs, "nodes": n_nodes}
+
+    # -- BTWELL (general Pallas BSR kernel); host build is minutes — cached
+    from parallel_amg_tpu.ops.btwell import btwell_from_kron_stencil
+
+    cache = os.path.join(CACHE_DIR, f"btwell_{nx}_b{bs}.pkl")
+    if os.path.exists(cache):
+        bt = load_pytree(cache)
+    else:
+        bt = btwell_from_kron_stencil(L, C)
+        save_pytree(cache, bt)
+    nnz = int(np.asarray(bt.nnz))
+    out["nnz"] = nnz
+    xp = jnp.ones((bs, n_nodes), jnp.float32)
+    t_bt = marginal_time(lambda v, o: o.matvec_planes(v) * 0.1, xp, bt)
+    out["btwell_spmv_s"] = t_bt
+    out["btwell_gnnz_s"] = nnz / t_bt / 1e9
+    out["btwell_occupancy"] = nnz / bs ** 2 / (bt.vals.size / bs ** 2)
+
+    # -- einsum block-ELL (the reference formulation)
+    bsr = bsr_from_kron_stencil(L, C)
+    x1 = jnp.ones((n,), jnp.float32)
+    t_e = marginal_time(lambda v, o: o.matvec(v) * 0.1, x1, bsr)
+    out["bsr_einsum_spmv_s"] = t_e
+    out["bsr_einsum_gnnz_s"] = nnz / t_e / 1e9
+
+    # -- structured Kronecker path (the production recommendation)
+    B = BlockStencil(L.weights, L.offsets, L.dims, jnp.asarray(C, jnp.float32))
+    xg = jnp.ones(dims + (bs,), jnp.float32)
+    t_b = marginal_time(lambda v, o: o.matvec(v) * 0.1, xg, B)
+    out["bstencil_spmv_s"] = t_b
+    out["bstencil_gnnz_s"] = nnz / t_b / 1e9
+
+    # -- AMG-PCG with the fine level applied as stored BSR
+    cfg = pat.AMGConfig(coarsening="sa", aggregate="block", block_size=3,
+                        smoother="chebyshev", n_coarse_max=512,
+                        on_device_setup=True)
+    h = setup_vector_kron(L, C, cfg, fine_format="bstencil")
+    A_bsr = BSRGridOperator(bsr, dims)
+    b = jnp.asarray(np.random.default_rng(0).normal(size=n),
+                    jnp.float32)
+    res = pat.amg_pcg(A_bsr, h, b, tol=1e-6, maxiter=100)
+    out["cg_iters_1e-6"] = int(res.iters)
+    out["converged"] = bool(res.converged)
+    gc, oc = h.complexity()
+    out["grid_complexity"] = gc
+    out["operator_complexity"] = oc
+    return out
+
+
 def bench_amg_rs(nx=96):
     """Acceptance config #2 shape: 2D Poisson, RS + ext+i, PCG (small scale —
     the RS host setup is the serial oracle; on-device RS setup lands next)."""
@@ -255,9 +329,15 @@ def main():
         log("amg_rs2d:", json.dumps(amg_rs))
     except Exception as e:  # noqa: BLE001
         log(f"amg_rs2d FAILED: {e!s:.500}")
+    bsr = None
+    try:
+        bsr = with_retry(bench_bsr, label="bsr")
+        log("bsr:", json.dumps(bsr))
+    except Exception as e:  # noqa: BLE001
+        log(f"bsr FAILED: {e!s:.500}")
 
     details = {"sol_gbps": sol_bw / 1e9, "spmv": spmv, "amg_sa3d": amg,
-               "amg_rs2d": amg_rs, "device": str(dev)}
+               "amg_rs2d": amg_rs, "bsr": bsr, "device": str(dev)}
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 

@@ -108,15 +108,22 @@ class BSR:
 
     # -- device ops -------------------------------------------------------
     def matvec(self, x):
-        """y = A @ x — batched bs×bs block matmuls (einsum over gathers)."""
+        """y = A @ x — batched bs×bs block matmuls, one width slot at a
+        time.
+
+        Padding slots hold zero blocks by construction (both builders
+        zero-fill), so no mask multiply is needed; the per-slot loop keeps
+        the gather temporary at (RB, bs) instead of (RB, WB, bs) — the
+        difference between fitting and OOM at the ≥100M-DOF BSR probe.
+        """
         bs = self.bs
         MB = -(-self.shape[1] // bs)
         xp = jnp.pad(x, (0, MB * bs - x.shape[0])) if x.shape[0] != MB * bs else x
         xb = xp.reshape(MB, bs)
-        g = jnp.take(xb, self.bcols, axis=0)  # (RB, WB, bs)
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, self.bcols.shape, 1)
-        maskv = (w_iota < self.brow_nnz[:, None]).astype(self.vals.dtype)
-        y = jnp.einsum("rwij,rwj->ri", self.vals * maskv[:, :, None, None], g)
+        y = jnp.zeros((self.n_block_rows, bs), xp.dtype)
+        for w in range(self.width):
+            g = jnp.take(xb, self.bcols[:, w], axis=0)  # (RB, bs)
+            y = y + jnp.einsum("rij,rj->ri", self.vals[:, w], g)
         return y.reshape(-1)[: self.shape[0]]
 
     def diagonal(self):

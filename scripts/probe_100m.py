@@ -1,12 +1,25 @@
-"""Probe: single-chip on-device structured setup + PCG at >=100M DOF."""
+"""Probe: single-chip on-device structured setup + PCG at >=100M DOF.
+
+Modes:
+  python scripts/probe_100m.py [nx]         scalar 3D Poisson (default 468^3)
+  python scripts/probe_100m.py --bsr [nx]   BSR config (BASELINE.json:11):
+      3-DOF coupled vector Laplacian at nx^3 nodes (default 324^3 =
+      102M DOF), fine level STORED and APPLIED as block-ELL BSR in the
+      Krylov layer; the V-cycle preconditioner runs on the Kronecker
+      hierarchy (the measured structured fast path — see bench_bsr).
+"""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("PAT_SETUP_VERBOSE", "1")
 
 import numpy as np
 
+
 def main():
-    nx = int(sys.argv[1]) if len(sys.argv) > 1 else 468
+    args = [a for a in sys.argv[1:]]
+    bsr_mode = "--bsr" in args
+    args = [a for a in args if a != "--bsr"]
+    nx = int(args[0]) if args else (324 if bsr_mode else 468)
     import jax, jax.numpy as jnp
     import parallel_amg_tpu as pat
     from bench import CACHE_DIR, marginal_time
@@ -20,6 +33,43 @@ def main():
     cfg = pat.AMGConfig(coarsening="sa", aggregate="block", block_size=3,
                         smoother="chebyshev", n_coarse_max=512,
                         on_device_setup=True)
+
+    if bsr_mode:
+        from parallel_amg_tpu.amg.vector import setup_vector_kron
+        from parallel_amg_tpu.ops.bstencil import (
+            BSRGridOperator, bsr_from_kron_stencil)
+        from parallel_amg_tpu.problems.elasticity import coupled_laplacian
+
+        dims, bs = (nx, nx, nx), 3
+        n = nx ** 3 * bs
+        print(f"BSR probe: {nx}^3 nodes x {bs} DOF = {n/1e6:.1f}M DOF",
+              flush=True)
+        t0 = time.perf_counter()
+        L, C = coupled_laplacian(dims, bs, 0.3)
+        h = setup_vector_kron(L, C, cfg, fine_format="bstencil")
+        jax.block_until_ready(h.coarse_inv)
+        print(f"setup: {time.perf_counter()-t0:.1f}s  levels:",
+              [l.A.n_rows for l in h.levels], flush=True)
+        t0 = time.perf_counter()
+        bsr = bsr_from_kron_stencil(L, C)
+        A = BSRGridOperator(bsr, dims)
+        jax.block_until_ready(bsr.vals)
+        print(f"BSR fine-level build: {time.perf_counter()-t0:.1f}s "
+              f"(vals {bsr.vals.size*4/1e9:.1f} GB)", flush=True)
+        nnz = 0  # counted lazily below to avoid an extra full pass
+        xg = jnp.ones(A.dims, jnp.float32)
+        t_mv = marginal_time(lambda v, o: o.matvec(v) * 0.1, xg, A)
+        nnzs = 7 * bs * bs * nx ** 3  # upper bound (boundary blocks zero)
+        print(f"BSR SpMV: {t_mv*1e3:.1f} ms  (~{nnzs/t_mv/1e9:.1f} Gnnz/s)",
+              flush=True)
+        b = jnp.ones(A.dims, jnp.float32)
+        t0 = time.perf_counter()
+        res = pat.amg_pcg(A, h, b, tol=1e-6, maxiter=60)
+        print(f"pcg (A applied as BSR): iters={int(res.iters)} "
+              f"converged={bool(res.converged)} "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        return
+
     t0 = time.perf_counter()
     A = poisson_stencil((nx, nx, nx))
     h = pat.setup(A, cfg)
