@@ -96,6 +96,13 @@ class AMGConfig:
     setup_product_path: str = "auto"
     # Intermediate-memory budget steering "auto" and sizing slabs.
     setup_chunk_budget_mb: int = 2048
+    # Distributed halo-exchange mode for sharded stencil SpMV:
+    #   "xla"          — ppermute + boundary-correction formulation; XLA's
+    #                    scheduler is *free* to overlap comm with compute;
+    #   "pallas_async" — guaranteed overlap: Pallas make_async_remote_copy
+    #                    RDMA kernel (start DMA → interior stencil → wait →
+    #                    boundary corrections; parallel/phalo_async.py).
+    halo_mode: str = "xla"
 
     def __post_init__(self):
         if self.coarsening not in ("rs", "sa"):
@@ -104,6 +111,9 @@ class AMGConfig:
             raise ValueError(f"smoother must be 'jacobi'|'chebyshev', got {self.smoother}")
         if self.cycle not in ("V", "W"):
             raise ValueError(f"cycle must be 'V'|'W', got {self.cycle}")
+        if self.halo_mode not in ("xla", "pallas_async"):
+            raise ValueError(
+                f"halo_mode must be xla|pallas_async, got {self.halo_mode}")
         if self.setup_product_path not in ("auto", "dense", "bucketed",
                                            "slab"):
             raise ValueError(

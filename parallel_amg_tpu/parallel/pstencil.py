@@ -65,19 +65,28 @@ class ShardedStencil:
     Padding planes carry an identity diagonal so smoothers stay inert there.
     """
 
-    def __init__(self, weights, offsets, dims, mesh):
+    def __init__(self, weights, offsets, dims, mesh, halo_mode="xla"):
         self.weights = weights
         self.offsets = tuple(tuple(int(c) for c in o) for o in offsets)
         self.dims = tuple(int(d) for d in dims)  # padded global dims
         self.mesh = mesh
+        # "xla" = ppermute + scheduler-permitted overlap (default);
+        # "pallas_async" = guaranteed-overlap Pallas remote-DMA kernel
+        # (parallel/phalo_async.py).
+        self.halo_mode = halo_mode
 
     def tree_flatten(self):
-        return (self.weights,), (self.offsets, self.dims, self.mesh)
+        return (self.weights,), (self.offsets, self.dims, self.mesh,
+                                 self.halo_mode)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        offsets, dims, mesh = aux
-        return cls(children[0], offsets, dims, mesh)
+        offsets, dims, mesh, halo_mode = aux
+        return cls(children[0], offsets, dims, mesh, halo_mode)
+
+    def with_halo_mode(self, mode: str) -> "ShardedStencil":
+        return ShardedStencil(self.weights, self.offsets, self.dims,
+                              self.mesh, mode)
 
     # -- properties -------------------------------------------------------
     @property
@@ -134,7 +143,13 @@ class ShardedStencil:
         XLA's latency-hiding scheduler is free to run the halo exchange
         concurrently with the bulk SpMV, instead of serializing exchange →
         compute as a concatenated-halo formulation would.
+
+        With ``halo_mode="pallas_async"`` the overlap is *enforced* instead
+        of permitted: the Pallas remote-DMA kernel in phalo_async.py.
         """
+        if self.halo_mode == "pallas_async":
+            from parallel_amg_tpu.parallel.phalo_async import async_halo_matvec
+            return async_halo_matvec(self, x)
         h = self.halo
         offsets = self.offsets
         dims = self.dims
