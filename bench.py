@@ -175,6 +175,17 @@ def bench_amg(nx=128):
     res = pat.amg_pcg(h.levels[0].A, h, b, tol=1e-6, maxiter=100)
     nnz = sum(int(np.asarray(l.A.nnz)) for l in h.levels)
 
+    # true 1e-8 on the flagship scale (f64 Krylov over the f32 V-cycle)
+    cg8 = None
+    try:
+        res8 = pat.amg_pcg_mp(
+            None, h,
+            np.random.default_rng(0).normal(size=n).reshape(h.grid_dims),
+            tol=1e-8, maxiter=200)
+        cg8 = int(res8.iters)
+    except Exception as e:  # noqa: BLE001
+        log(f"  mp 1e-8 FAILED: {e!s:.300}")
+
     # bf16 weight planes (mixed precision: f32 vectors/operator, bf16
     # hierarchy) — cast the same hierarchy, no setup rerun
     def cast16(x):
@@ -194,6 +205,7 @@ def bench_amg(nx=128):
         "converged": bool(res.converged),
         "vcycle_bf16_s": t_cycle16,
         "cg_iters_bf16_precond": int(res16.iters),
+        "cg_iters_1e-8": cg8,
     }
 
 
@@ -271,31 +283,62 @@ def bench_bsr(nx=128, bs=3):
     return out
 
 
-def bench_amg_rs(nx=96):
-    """Acceptance config #2 shape: 2D Poisson, RS + ext+i, PCG (small scale —
-    the RS host setup is the serial oracle; on-device RS setup lands next)."""
+def bench_amg_rs(nx=1024):
+    """Acceptance config #2 at its stated scale: 2D Poisson 1024², classical
+    RS (PMIS + ext+i), ON-DEVICE setup, PCG — with f64-oracle iteration
+    parity on the SAME matrix and a true-1e-8 mixed-precision count
+    (BASELINE.json:8; VERDICT round-1 items 3,4,6)."""
+    import jax
     import jax.numpy as jnp
+    import scipy.sparse as sp
 
     import parallel_amg_tpu as pat
     from parallel_amg_tpu.problems import poisson2d
 
-    log(f"AMG setup 2D Poisson {nx}^2 (RS) ...")
+    log(f"on-device RS setup 2D Poisson {nx}^2 ...")
+    coo = poisson2d(nx)
+    cfg = pat.AMGConfig(coarsening="rs", smoother="chebyshev",
+                        n_coarse_max=256, on_device_setup=True)
     t0 = time.perf_counter()
-    cfg = pat.AMGConfig(coarsening="rs", smoother="chebyshev", n_coarse_max=256)
-    h = pat.setup(poisson2d(nx).to_csr(), cfg)
+    h = pat.setup(coo.to_csr(), cfg)
+    jax.block_until_ready(h.coarse_inv)
     setup_s = time.perf_counter() - t0
     n = h.levels[0].A.n_rows
-    b = jnp.asarray(np.random.default_rng(0).normal(size=n), jnp.float32)
+    log(f"  setup {setup_s:.1f}s levels {[l.A.n_rows for l in h.levels]}")
+    b64 = np.random.default_rng(0).normal(size=n)
+    b = jnp.asarray(b64, jnp.float32)
     t_cycle = marginal_time(lambda x, hh, bb: pat.vcycle(hh, x, bb),
                             jnp.zeros_like(b), h, b)
     res = pat.amg_pcg(h.levels[0].A, h, b, tol=1e-6, maxiter=100)
-    return {
+    out = {
         "n": n,
         "setup_s": setup_s,
         "vcycle_s": t_cycle,
         "cg_iters_1e-6": int(res.iters),
         "converged": bool(res.converged),
     }
+    try:
+        gc, oc = h.complexity()
+        out["grid_complexity"] = round(gc, 3)
+        out["operator_complexity"] = round(oc, 3)
+    except Exception:  # noqa: BLE001
+        pass
+    try:  # true 1e-8: f64 Krylov vectors over the f32 V-cycle
+        res8 = pat.amg_pcg_mp(None, h, b64, tol=1e-8, maxiter=200)
+        out["cg_iters_1e-8"] = int(res8.iters)
+    except Exception as e:  # noqa: BLE001
+        log(f"  mp 1e-8 FAILED: {e!s:.300}")
+    try:  # f64 serial oracle on the SAME matrix (vectorized PMIS/ext+i)
+        from parallel_amg_tpu.oracle.serial_amg import oracle_pcg, oracle_setup
+        A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
+        t0 = time.perf_counter()
+        oh = oracle_setup(A_sp, cfg)
+        out["oracle_setup_s"] = time.perf_counter() - t0
+        _, oracle_iters, _ = oracle_pcg(A_sp, b64, oh, tol=1e-8, maxiter=200)
+        out["oracle_iters_1e-8"] = int(oracle_iters)
+    except Exception as e:  # noqa: BLE001
+        log(f"  oracle FAILED: {e!s:.300}")
+    return out
 
 
 def main():
