@@ -300,11 +300,93 @@ class PCSR:
         keep = (cs >= 0) & (cs < n_cols)
         return COO(rs[keep], cs[keep], vs[keep], self.true_shape).to_csr()
 
+    def to_triplets(self):
+        """Recover per-shard (rows, cols, vals) triplet blocks with GLOBAL
+        ids, entirely on device — (S, T) arrays, padding rows = -1.
+
+        Ghost gids are reconstructed with ONE all_to_all of the send tables:
+        what I receive from owner o at position j is x_o[send_idx[o, me, j]],
+        so gid(slot g) = o·mc + send_idx[o, me, j] with (o, j) = recv_map[g].
+        """
+        S = self.n_shards
+        m = self.row_partition.rows_per_shard
+        mc = self.col_partition.rows_per_shard
+        C = self.send_idx.shape[2]
+        n_rows = self.true_shape[0]
+        Wd = self.diag_cols.shape[2]
+        Wo = self.off_cols.shape[2]
+
+        def body(dc, dv, oc, ov, sidx, rmap):
+            dc, dv, oc, ov = dc[0], dv[0], oc[0], ov[0]
+            sidx, rmap = sidx[0], rmap[0]
+            me = jax.lax.axis_index(ROW_AXIS)
+            # ghost gid table: all_to_all my send tables; recv[o] is the
+            # local-id list I requested from o
+            recv = jax.lax.all_to_all(sidx, ROW_AXIS, 0, 0, tiled=True)
+            owner_base = (jnp.arange(S) * mc)[:, None] + recv  # (S, C) gids
+            gids = jnp.concatenate(
+                [owner_base.reshape(-1), jnp.full((1,), -1, jnp.int32)]
+            )[rmap]  # (G,) global id per ghost slot (-1 = trash)
+            rows_l = jnp.arange(m)
+            gr = me * m + rows_l
+            live_row = gr < n_rows
+            # diag triplets
+            r_d = jnp.broadcast_to(gr[:, None], (m, Wd))
+            c_d = me * mc + dc
+            ok_d = (dv != 0) & live_row[:, None]
+            # identity padding rows are structural, drop them
+            r_o = jnp.broadcast_to(gr[:, None], (m, Wo))
+            c_o = gids[oc]
+            ok_o = (ov != 0) & live_row[:, None] & (c_o >= 0)
+            rows = jnp.concatenate([
+                jnp.where(ok_d, r_d, -1).reshape(-1),
+                jnp.where(ok_o, r_o, -1).reshape(-1)])
+            cols = jnp.concatenate([
+                jnp.where(ok_d, c_d, 0).reshape(-1),
+                jnp.where(ok_o, c_o, 0).reshape(-1)])
+            vals = jnp.concatenate([
+                jnp.where(ok_d, dv, 0).reshape(-1),
+                jnp.where(ok_o, ov, 0).reshape(-1)])
+            return rows[None], cols[None], vals[None]
+
+        spec = P(ROW_AXIS)
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(spec,) * 6,
+            out_specs=(spec,) * 3,
+        )(self.diag_cols, self.diag_vals, self.off_cols, self.off_vals,
+          self.send_idx, self.recv_map)
+
     def repartition(self, mesh, col_partition: Partition | None = None,
-                    dtype=None) -> "PCSR":
-        """Redistribute onto a (possibly smaller) mesh — the coarse-level
-        repartitioner of SURVEY.md §2.1.  Host-mediated rebuild; the
-        all_to_all device path is a planned optimization."""
+                    dtype=None, rows_per_shard: int | None = None,
+                    **device_caps) -> "PCSR":
+        """Redistribute rows — the coarse-level repartitioner of
+        SURVEY.md §2.1.
+
+        Same-mesh repartitions (re-balance / re-align rows_per_shard) run
+        FULLY ON DEVICE: triplet recovery (`to_triplets`) + all_to_all
+        owner routing (`pcsr_from_coo_device`) — no host-global matrix.
+        Cross-mesh moves (e.g. shrink to fewer devices) fall back to the
+        host rebuild.
+        """
+        if mesh is self.mesh and col_partition is None:
+            from parallel_amg_tpu.parallel.passembly_device import (
+                pcsr_from_coo_device,
+            )
+
+            rows, cols, vals = self.to_triplets()
+            # a re-aligned ownership boundary can flip any entry between
+            # diag and offdiag, so both widths get the full row budget;
+            # overflow is loud, not silent, if these ever fall short
+            W = self.diag_cols.shape[2] + self.off_cols.shape[2]
+            caps = dict(
+                ell_width=W, off_width=W,
+                ghost_capacity=max(4 * self.recv_map.shape[1], 64),
+            )
+            caps.update(device_caps)
+            return pcsr_from_coo_device(
+                rows, cols, vals, self.true_shape, mesh,
+                rows_per_shard=rows_per_shard,
+                dtype=dtype or self.diag_vals.dtype, **caps)
         csr = self.to_csr()
         return PCSR.from_csr(csr, mesh, col_partition=col_partition,
                              dtype=dtype or self.diag_vals.dtype)

@@ -97,3 +97,29 @@ def test_bigger_problem_spmv(mesh8):
     xp = jnp.zeros((A_dev.shape[1],), jnp.float32).at[:coo.shape[0]].set(x)
     y = np.asarray(A_dev @ xp)[:coo.shape[0]]
     np.testing.assert_allclose(y, A_sp @ x, rtol=2e-5, atol=2e-5)
+
+
+def test_device_repartition_no_host(mesh8, monkeypatch):
+    """Same-mesh repartition runs on device: to_triplets + all_to_all
+    reassembly, with to_csr (the host round-trip) forbidden during the op."""
+    nx, S = 32, 8
+    rows, cols, vals, coo = _triplet_blocks(nx, S)
+    A = pcsr_from_coo_device(rows, cols, vals, coo.shape, mesh8,
+                             ell_width=5, off_width=2, ghost_capacity=64)
+    m_new = A.row_partition.rows_per_shard + 16  # re-align ownership
+
+    def _boom(self):
+        raise AssertionError("repartition must not round-trip via to_csr")
+
+    monkeypatch.setattr(PCSR, "to_csr", _boom)
+    B = A.repartition(mesh8, rows_per_shard=m_new)
+    monkeypatch.undo()
+    assert B.row_partition.rows_per_shard == m_new
+    n = coo.shape[0]
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n).astype(np.float32)
+    xa = jnp.zeros((A.shape[1],), jnp.float32).at[:n].set(x)
+    xb = jnp.zeros((B.shape[1],), jnp.float32).at[:n].set(x)
+    np.testing.assert_allclose(
+        np.asarray(B @ xb)[:n], np.asarray(A @ xa)[:n],
+        rtol=1e-5, atol=1e-5)
