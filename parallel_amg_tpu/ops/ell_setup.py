@@ -71,8 +71,16 @@ def ell_transpose(ell: ELL, out_width: int | None = None) -> ELL:
 
 def ell_spgemm(A: ELL, B: ELL, out_width: int | None = None) -> ELL:
     """C = A @ B in ELL via expand-sort-compress (device; one host sync
-    for the output width unless provided)."""
+    for the output width unless provided).
+
+    With a known out_width and modest candidate width K = Wa·Wb, dispatches
+    to the sort-free pairwise variant — XLA's small-axis sort collapses
+    above ~10^5 rows (measured 2.7–4× slower than pairwise at 512²–1024²;
+    docs/SPGEMM.md)."""
     R, Wa = A.cols.shape
+    if (out_width is not None and R > 16384
+            and Wa * B.cols.shape[1] <= 128):
+        return ell_spgemm_pairwise(A, B, out_width)
     Wb = B.cols.shape[1]
     n_cols_out = B.shape[1]
     K = Wa * Wb
@@ -139,3 +147,72 @@ def ell_prune(ell: ELL, tol: float = 0.0, out_width: int | None = None) -> ELL:
         row_nnz,
         ell.shape,
     )
+
+
+def ell_spgemm_pairwise(A: ELL, B: ELL, out_width: int,
+                        row_chunk: int = 4096) -> ELL:
+    """C = A @ B via sort-free pairwise dedup — the TPU-fast ESC variant.
+
+    The classic ESC's per-row sort is the measured bottleneck on TPU (XLA's
+    small-axis sort path collapses above ~10^5 rows: 457 ms for a 262k-row
+    5-point square vs ~0.1 ms of traffic — docs/SPGEMM.md).  This variant
+    replaces sort+segment-sum with an O(K²)-per-row equality matrix, which
+    the VPU eats as dense elementwise work:
+
+        E[k, j]  = cand_cols[k] == cand_cols[j]
+        first[j] = no k < j with E[k, j]          (duplicate leader test)
+        acc[j]   = Σ_k vals[k] · E[k, j]          (duplicate sum, no sort)
+
+    then compacts leaders to ``out_width`` slots with a cumsum rank.  Rows
+    are processed in chunks via ``lax.map`` to bound the (chunk, K, K)
+    intermediate.  Exact same result as ``ell_spgemm`` (parity-tested);
+    K = Wa·Wb must be modest (setup products: K ≲ 200 ⇒ K² ≲ 4·10⁴/row).
+    """
+    R, Wa = A.cols.shape
+    Wb = B.cols.shape[1]
+    n_cols_out = B.shape[1]
+    K = Wa * Wb
+    SENT = jnp.int32(n_cols_out)
+
+    pad_rows = (-R) % row_chunk
+    a_cols = jnp.pad(A.cols, ((0, pad_rows), (0, 0)))
+    a_vals = jnp.pad(A.vals, ((0, pad_rows), (0, 0)))
+    a_mask = jnp.pad(A.mask(), ((0, pad_rows), (0, 0)))
+    Rp = R + pad_rows
+
+    def chunk(args):
+        ac, av, am = args  # (ch, Wa)
+        bc = jnp.take(B.cols, ac, axis=0)          # (ch, Wa, Wb)
+        bv = jnp.take(B.vals, ac, axis=0)
+        bm = jnp.take(B.mask(), ac, axis=0)
+        vals = (av[:, :, None] * bv).reshape(-1, K)
+        ok = (am[:, :, None] & bm).reshape(-1, K)
+        cols = jnp.where(ok, bc.reshape(-1, K), SENT)
+        vals = jnp.where(ok, vals, 0.0)
+        E = cols[:, :, None] == cols[:, None, :]    # (ch, K, K)
+        low = jnp.tril(jnp.ones((K, K), bool), k=-1)
+        first = ok & ~jnp.any(E & low[None], axis=1)
+        acc = jnp.einsum("rk,rkj->rj", vals, E.astype(vals.dtype))
+        pos = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+        row_nnz = jnp.sum(first, axis=1)
+        pos_c = jnp.where(first & (pos < out_width), pos, out_width)
+        ch = ac.shape[0]
+        flat = (jnp.arange(ch)[:, None] * (out_width + 1) + pos_c)
+        cc = jnp.zeros((ch * (out_width + 1),), jnp.int32).at[
+            flat.reshape(-1)].set(jnp.where(first, cols, 0).reshape(-1))
+        cv = jnp.zeros((ch * (out_width + 1),), vals.dtype).at[
+            flat.reshape(-1)].set(jnp.where(first, acc, 0.0).reshape(-1))
+        cc = cc.reshape(ch, out_width + 1)[:, :out_width]
+        cv = cv.reshape(ch, out_width + 1)[:, :out_width]
+        return cc, cv, row_nnz.astype(jnp.int32)
+
+    n_ch = Rp // row_chunk
+    cc, cv, rn = jax.lax.map(
+        chunk,
+        (a_cols.reshape(n_ch, row_chunk, Wa),
+         a_vals.reshape(n_ch, row_chunk, Wa),
+         a_mask.reshape(n_ch, row_chunk, Wa)))
+    cc = cc.reshape(Rp, out_width)[:R]
+    cv = cv.reshape(Rp, out_width)[:R]
+    rn = jnp.minimum(rn.reshape(Rp)[:R], out_width)
+    return ELL(cc, cv, rn, (R, n_cols_out))

@@ -74,3 +74,46 @@ def report(op, time_s: float, sol_gbps: float, label: str | None = None
         sol_gbps=sol_gbps,
         sol_fraction=gbps / sol_gbps if sol_gbps else 0.0,
     )
+
+
+def cycle_collective_volume(hierarchy, n_shards: int,
+                            agglomerate_n: int = 2048) -> dict:
+    """Static per-V-cycle collective-traffic model for a row-sharded run.
+
+    The scaling-efficiency proxy for single-chip environments
+    (BASELINE.json:5 ≥70% 1→N target; VERDICT round-1 item 9): for each
+    structured level, one halo exchange moves 2·h·plane·4 bytes per shard
+    over ICI (both ring directions), and a V(nu_pre,nu_post) cycle with a
+    degree-d Chebyshev smoother performs d·(nu_pre+nu_post)+1 halo'd
+    matvecs per level.  Levels at or below the agglomeration threshold are
+    replicated — zero collective bytes (the whole point of agglomeration).
+    Transfers are shard-local by layout (block aggregation), contributing
+    nothing.  Reported per shard = per ICI link, the scaling-relevant
+    number.
+    """
+    cfg = getattr(hierarchy, "config", None)
+    nu = (cfg.nu_pre + cfg.nu_post) if cfg else 2
+    deg = cfg.cheb_degree if (cfg and cfg.smoother == "chebyshev") else 1
+    matvecs = deg * nu + 1
+    levels = []
+    total = 0
+    for l in hierarchy.levels:
+        A = l.A
+        if not hasattr(A, "dims") or not hasattr(A, "offsets"):
+            continue
+        n = int(np.prod(A.dims))
+        if n <= agglomerate_n or A.dims[0] < n_shards:
+            levels.append({"n": n, "halo_bytes_per_matvec": 0,
+                           "replicated": True})
+            continue
+        h = max(abs(int(o[0])) for o in A.offsets)
+        plane = int(np.prod(A.dims[1:])) if len(A.dims) > 1 else 1
+        per_mv = 2 * h * plane * 4  # both directions, f32
+        levels.append({"n": n, "halo": h,
+                       "halo_bytes_per_matvec": per_mv,
+                       "matvecs_per_cycle": matvecs,
+                       "cycle_bytes": per_mv * matvecs,
+                       "replicated": False})
+        total += per_mv * matvecs
+    return {"n_shards": n_shards, "per_shard_cycle_bytes": total,
+            "levels": levels}

@@ -130,3 +130,32 @@ def test_twell_on_amg_coarse_level():
     np.testing.assert_allclose(
         np.asarray(tw.diagonal()), A1.diagonal(), rtol=1e-5, atol=1e-6
     )
+
+
+def test_ell_spgemm_pairwise_parity():
+    """Sort-free pairwise ESC == sort ESC == scipy (docs/SPGEMM.md)."""
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from parallel_amg_tpu.ops.csr import CSR
+    from parallel_amg_tpu.ops.ell import ELL
+    from parallel_amg_tpu.ops.ell_setup import ell_spgemm, ell_spgemm_pairwise
+    from parallel_amg_tpu.problems import poisson2d
+
+    coo = poisson2d(48)
+    A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
+    A = ELL.from_csr(CSR.from_scipy(A_sp), dtype=jnp.float32)
+    C1 = ell_spgemm(A, A, out_width=16)
+    C2 = ell_spgemm_pairwise(A, A, out_width=16, row_chunk=512)
+
+    def to_sp(C):
+        R, W = C.cols.shape
+        m = sp.csr_matrix(
+            (np.asarray(C.vals).ravel(),
+             (np.repeat(np.arange(R), W), np.asarray(C.cols).ravel())),
+            shape=A_sp.shape)
+        m.sum_duplicates()
+        return m
+
+    ref = (A_sp @ A_sp).astype(np.float32)
+    assert abs(to_sp(C1) - to_sp(C2)).max() < 1e-4
+    assert abs(to_sp(C2) - ref).max() < 1e-3
