@@ -299,28 +299,38 @@ def bench_bsr(nx=128, bs=3):
     return out
 
 
-def bench_amg_rs(nx=1024):
+def bench_amg_rs(nx=1024, degraded=False):
     """Acceptance config #2 at its stated scale: 2D Poisson 1024², classical
     RS (PMIS + ext+i), ON-DEVICE setup, PCG — with f64-oracle iteration
     parity on the SAME matrix and a true-1e-8 mixed-precision count
-    (BASELINE.json:8; VERDICT round-1 items 3,4,6)."""
+    (BASELINE.json:8; VERDICT round-1 items 3,4,6).  The hierarchy is
+    disk-cached exactly like the SA stage (VERDICT r2 item 1b)."""
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
 
     import parallel_amg_tpu as pat
     from parallel_amg_tpu.problems import poisson2d
+    from parallel_amg_tpu.utils.checkpoint import load_hierarchy, save_hierarchy
 
-    log(f"on-device RS setup 2D Poisson {nx}^2 ...")
+    os.makedirs(CACHE_DIR, exist_ok=True)
     coo = poisson2d(nx)
     cfg = pat.AMGConfig(coarsening="rs", smoother="chebyshev",
                         n_coarse_max=256, on_device_setup=True)
-    t0 = time.perf_counter()
-    h = pat.setup(coo.to_csr(), cfg)
-    jax.block_until_ready(h.coarse_inv)
-    setup_s = time.perf_counter() - t0
+    cache = _rs_cache_path(nx)
+    setup_s = None
+    if os.path.exists(cache):
+        log(f"loading cached RS hierarchy {cache}")
+        h = load_hierarchy(cache)
+    else:
+        log(f"on-device RS setup 2D Poisson {nx}^2 ...")
+        t0 = time.perf_counter()
+        h = pat.setup(coo.to_csr(), cfg)
+        jax.block_until_ready(h.coarse_inv)
+        setup_s = time.perf_counter() - t0
+        save_hierarchy(cache, h)
     n = h.levels[0].A.n_rows
-    log(f"  setup {setup_s:.1f}s levels {[l.A.n_rows for l in h.levels]}")
+    log(f"  setup {setup_s}s levels {[l.A.n_rows for l in h.levels]}")
     b64 = np.random.default_rng(0).normal(size=n)
     b = jnp.asarray(b64, jnp.float32)
     t_cycle = marginal_time(lambda x, hh, bb: pat.vcycle(hh, x, bb),
@@ -328,6 +338,8 @@ def bench_amg_rs(nx=1024):
     res = pat.amg_pcg(h.levels[0].A, h, b, tol=1e-6, maxiter=100)
     out = {
         "n": n,
+        "nx": nx,
+        "degraded": degraded,
         "setup_s": setup_s,
         "vcycle_s": t_cycle,
         "cg_iters_1e-6": int(res.iters),
@@ -420,60 +432,56 @@ def bench_weak_scaling(per_shard=(16, 96, 96)):
                      "transferable comm-overhead signal")}
 
 
+def _rs_cache_path(nx: int) -> str:
+    return os.path.join(CACHE_DIR, f"h_rs2d_{nx}_ncm256.pkl")
+
+
+_T0 = time.perf_counter()
+# The driver runs bench.py under a wall-clock timeout (round 2 died at
+# rc=124 with the RS-1024² stage mid-flight and everything after it lost).
+# Budget all stages against a deadline: expensive stages degrade to a
+# smaller scale — a number at reduced scale beats a timeout — and the
+# headline prints the moment the SpMV stage lands.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.perf_counter() - _T0)
+
+
 def main():
     import jax
 
     # Persistent compiled-executable cache: setup is compile-bound through
-    # the remote-compile tunnel, so reusing executables across runs turns a
-    # ~150 s fresh setup into seconds.
+    # the remote-compile tunnel.  Threshold 0: the RS setup dispatches many
+    # SMALL eager-op compiles (each ~30-80 ms of tunnel RTT) that a 0.5 s
+    # threshold never persists — measured 4-5× faster warm-process setup
+    # stages with everything cached.
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(CACHE_DIR, "xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     dev = jax.devices()[0]
     log("device:", dev, "platform:", dev.platform)
 
+    details = {"device": str(dev), "budget_s": _BUDGET_S}
+
+    def flush_details():
+        details["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+        with open("bench_details.json", "w") as f:
+            json.dump(details, f, indent=2)
+
     sol_bw = with_retry(measure_memcpy_bw, label="memcpy")
     log(f"memcpy speed-of-light: {sol_bw/1e9:.1f} GB/s")
+    details["sol_gbps"] = sol_bw / 1e9
 
     spmv = with_retry(bench_spmv, label="spmv")
     log("spmv:", json.dumps(spmv))
+    details["spmv"] = spmv
+    flush_details()
 
-    # secondary stages: a failure here must not lose the headline line
-    amg, amg_rs = None, None
-    try:
-        amg = with_retry(bench_amg, label="amg_sa3d")
-        log("amg_sa3d:", json.dumps(amg))
-    except Exception as e:  # noqa: BLE001
-        log(f"amg_sa3d FAILED: {e!s:.500}")
-    try:
-        amg_rs = with_retry(bench_amg_rs, label="amg_rs2d")
-        log("amg_rs2d:", json.dumps(amg_rs))
-    except Exception as e:  # noqa: BLE001
-        log(f"amg_rs2d FAILED: {e!s:.500}")
-    bsr = None
-    try:
-        bsr = with_retry(bench_bsr, label="bsr")
-        log("bsr:", json.dumps(bsr))
-    except Exception as e:  # noqa: BLE001
-        log(f"bsr FAILED: {e!s:.500}")
-
-    weak = None
-    try:
-        weak = bench_weak_scaling()
-        log("weak_scaling:", json.dumps(weak))
-    except Exception as e:  # noqa: BLE001
-        log(f"weak_scaling FAILED: {e!s:.500}")
-
-    details = {"sol_gbps": sol_bw / 1e9, "spmv": spmv, "amg_sa3d": amg,
-               "amg_rs2d": amg_rs, "bsr": bsr, "weak_scaling": weak,
-               "device": str(dev)}
-    with open("bench_details.json", "w") as f:
-        json.dump(details, f, indent=2)
-
-    # headline: achieved SpMV rate vs the speed-of-light rate for this
-    # operator's traffic model (sol_bw / bytes-per-nnz); values > 1 mean XLA
-    # fused below the naive traffic model
+    # headline FIRST (stdout) — later stages only append to the details
+    # file; a failure or timeout after this point cannot lose the metric.
     bytes_per_nnz = (spmv["n_points"] * spmv["n"] * 4 + 2 * spmv["n"] * 4) \
         / spmv["nnz"]
     sol_gnnz = sol_bw / 1e9 / bytes_per_nnz
@@ -483,7 +491,42 @@ def main():
         "unit": "Gnnz/s",
         "vs_baseline": round(spmv["gnnz_s"] / sol_gnnz, 4),
     }
-    print(json.dumps(headline))
+    print(json.dumps(headline), flush=True)
+
+    def stage(name, fn, min_budget_s, *args, **kwargs):
+        """Run a stage if the remaining budget allows; record failures and
+        skips in details instead of dying (VERDICT r2 item 1a/1c)."""
+        if _remaining() < min_budget_s:
+            log(f"{name}: SKIPPED ({_remaining():.0f}s left < "
+                f"{min_budget_s}s floor)")
+            details[name] = {"skipped": True,
+                             "remaining_s": round(_remaining(), 1)}
+        else:
+            try:
+                details[name] = with_retry(fn, *args, attempts=2,
+                                           label=name, **kwargs)
+                log(f"{name}:", json.dumps(details[name]))
+            except Exception as e:  # noqa: BLE001
+                log(f"{name} FAILED: {e!s:.500}")
+                details[name] = {"error": f"{e!s:.300}"}
+        flush_details()
+
+    # cheap-first order: weak-scaling is pure-CPU seconds; SA is
+    # hierarchy-cached; RS degrades by scale; BSR runs last.
+    stage("weak_scaling", bench_weak_scaling, 30)
+    stage("amg_sa3d", bench_amg, 120)
+
+    # RS stage scale selection: full 1024² when its hierarchy is cached or
+    # the budget comfortably covers a fresh setup; otherwise degrade.
+    nx = 1024
+    if not os.path.exists(_rs_cache_path(1024)):
+        if _remaining() < 600:
+            nx = 512 if (os.path.exists(_rs_cache_path(512))
+                         or _remaining() > 240) else 256
+    stage("amg_rs2d", bench_amg_rs, 60, nx=nx, degraded=nx != 1024)
+
+    stage("bsr", bench_bsr, 120)
+    log(f"bench complete in {time.perf_counter() - _T0:.0f}s")
 
 
 if __name__ == "__main__":

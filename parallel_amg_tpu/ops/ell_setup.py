@@ -69,21 +69,44 @@ def ell_transpose(ell: ELL, out_width: int | None = None) -> ELL:
     return ELL(t_cols, t_vals, t_nnz.astype(jnp.int32), (n_cols, n_rows))
 
 
-def ell_spgemm(A: ELL, B: ELL, out_width: int | None = None) -> ELL:
+def _compact_width(C: ELL) -> ELL:
+    """Slice an over-allocated ELL down to its true max row width (one
+    host sync).  Slots past each row's nnz are already zeroed."""
+    w = max(int(jnp.max(C.row_nnz)), 1)
+    return ELL(C.cols[:, :w], C.vals[:, :w], C.row_nnz, C.shape)
+
+
+def ell_spgemm(A: ELL, B: ELL, out_width: int | None = None,
+               strict: bool = True) -> ELL:
     """C = A @ B in ELL via expand-sort-compress (device; one host sync
     for the output width unless provided).
 
-    With a known out_width and modest candidate width K = Wa·Wb, dispatches
-    to the sort-free pairwise variant — XLA's small-axis sort collapses
-    above ~10^5 rows (measured 2.7–4× slower than pairwise at 512²–1024²;
-    docs/SPGEMM.md)."""
+    Large-R dispatch: XLA's small-axis sort collapses above ~10^5 rows
+    (measured 2.7–4× slower than the sort-free pairwise dedup at
+    512²–1024²; docs/SPGEMM.md), so when the candidate width K = Wa·Wb is
+    modest the pairwise variant runs instead — at width K when out_width is
+    unknown (no overflow possible; compacted after one nnz sync), so the
+    fast path is reachable from the setup chain's ``out_width=None`` calls.
+
+    Overflow semantics (both variants): with an explicit ``out_width``,
+    whole column-runs beyond it are routed to a trash slot — dropped, never
+    mis-summed into a surviving slot — and ``strict=True`` (eager calls
+    only) raises with the dropped-entry count, matching the
+    no-silent-caps rule of passembly_device.  Output column ORDER differs
+    between the variants (sorted vs first-occurrence); the (col, val) sets
+    are identical.
+    """
     R, Wa = A.cols.shape
-    if (out_width is not None and R > 16384
-            and Wa * B.cols.shape[1] <= 128):
-        return ell_spgemm_pairwise(A, B, out_width)
     Wb = B.cols.shape[1]
-    n_cols_out = B.shape[1]
     K = Wa * Wb
+    # dispatch is TPU-measured (XLA's TPU small-axis sort is the collapse;
+    # the CPU sort is fine and the K² expansion is not)
+    if R > 16384 and K <= 128 and jax.default_backend() == "tpu":
+        if out_width is not None:
+            return ell_spgemm_pairwise(A, B, out_width, strict=strict)
+        return _compact_width(
+            ell_spgemm_pairwise(A, B, K, strict=False))  # K never overflows
+    n_cols_out = B.shape[1]
     SENT = jnp.int32(n_cols_out)
 
     brows_cols = jnp.take(B.cols, A.cols, axis=0)  # (R, Wa, Wb)
@@ -103,20 +126,29 @@ def ell_spgemm(A: ELL, B: ELL, out_width: int | None = None) -> ELL:
     )
     is_first = is_first & (cols_s < SENT)
     pos = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # (R, K)
-    row_nnz = jnp.maximum(pos[:, -1] + 1, 0) * (is_first.any(axis=1))
     row_nnz = jnp.where(is_first.any(axis=1), pos[:, -1] + 1, 0)
+    check_overflow = strict and out_width is not None
     if out_width is None:
         out_width = max(int(jnp.max(row_nnz)), 1)  # host sync
-    pos_c = jnp.clip(pos, 0, out_width - 1)
-    flat_ids = (jnp.arange(R)[:, None] * out_width + pos_c).reshape(-1)
+    # runs at pos >= out_width go whole to the trash slot (slot out_width):
+    # dropped and counted, never summed into a surviving column
+    pos_c = jnp.where(pos < out_width, pos, out_width)
+    flat_ids = (jnp.arange(R)[:, None] * (out_width + 1) + pos_c).reshape(-1)
     c_vals = jax.ops.segment_sum(
-        vals_s.reshape(-1), flat_ids, num_segments=R * out_width
-    ).reshape(R, out_width)
+        vals_s.reshape(-1), flat_ids, num_segments=R * (out_width + 1)
+    ).reshape(R, out_width + 1)[:, :out_width]
     col_write = jnp.where(is_first, cols_s, 0)
     c_cols = jax.ops.segment_max(
         col_write.reshape(-1) * is_first.reshape(-1),
-        flat_ids, num_segments=R * out_width,
-    ).reshape(R, out_width)
+        flat_ids, num_segments=R * (out_width + 1),
+    ).reshape(R, out_width + 1)[:, :out_width]
+    if check_overflow:
+        dropped = int(jnp.sum(jnp.maximum(row_nnz - out_width, 0)))
+        if dropped:
+            raise ValueError(
+                f"ell_spgemm: out_width={out_width} too small — {dropped} "
+                "product entries dropped; raise out_width")
+    row_nnz = jnp.minimum(row_nnz, out_width)
     # zero out padding slots
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (R, out_width), 1)
     pad = w_iota >= row_nnz[:, None]
@@ -150,7 +182,7 @@ def ell_prune(ell: ELL, tol: float = 0.0, out_width: int | None = None) -> ELL:
 
 
 def ell_spgemm_pairwise(A: ELL, B: ELL, out_width: int,
-                        row_chunk: int = 4096) -> ELL:
+                        row_chunk: int = 4096, strict: bool = True) -> ELL:
     """C = A @ B via sort-free pairwise dedup — the TPU-fast ESC variant.
 
     The classic ESC's per-row sort is the measured bottleneck on TPU (XLA's
@@ -165,7 +197,10 @@ def ell_spgemm_pairwise(A: ELL, B: ELL, out_width: int,
 
     then compacts leaders to ``out_width`` slots with a cumsum rank.  Rows
     are processed in chunks via ``lax.map`` to bound the (chunk, K, K)
-    intermediate.  Exact same result as ``ell_spgemm`` (parity-tested);
+    intermediate.  Same (col, val) set as ``ell_spgemm`` (parity-tested);
+    column ORDER is first-occurrence, not sorted.  Leaders beyond
+    ``out_width`` land in a trash slot — dropped and counted, and
+    ``strict=True`` raises on any drop (eager/setup calls only).
     K = Wa·Wb must be modest (setup products: K ≲ 200 ⇒ K² ≲ 4·10⁴/row).
     """
     R, Wa = A.cols.shape
@@ -214,5 +249,12 @@ def ell_spgemm_pairwise(A: ELL, B: ELL, out_width: int,
          a_mask.reshape(n_ch, row_chunk, Wa)))
     cc = cc.reshape(Rp, out_width)[:R]
     cv = cv.reshape(Rp, out_width)[:R]
-    rn = jnp.minimum(rn.reshape(Rp)[:R], out_width)
+    rn_true = rn.reshape(Rp)[:R]
+    if strict:
+        dropped = int(jnp.sum(jnp.maximum(rn_true - out_width, 0)))
+        if dropped:
+            raise ValueError(
+                f"ell_spgemm_pairwise: out_width={out_width} too small — "
+                f"{dropped} product entries dropped; raise out_width")
+    rn = jnp.minimum(rn_true, out_width)
     return ELL(cc, cv, rn, (R, n_cols_out))

@@ -307,6 +307,13 @@ class PCSR:
         Ghost gids are reconstructed with ONE all_to_all of the send tables:
         what I receive from owner o at position j is x_o[send_idx[o, me, j]],
         so gid(slot g) = o·mc + send_idx[o, me, j] with (o, j) = recv_map[g].
+
+        PATTERN-LOSSY: validity is tracked as ``val != 0`` (PCSR stores no
+        per-row nnz), so explicitly stored zeros are dropped — a
+        triplet-round-tripped matrix has the same values but a possibly
+        tighter sparsity pattern than the original.  Numerics are
+        unaffected; pattern-sensitive consumers (nnz counts, width sizing,
+        strength masks) may see fewer structural entries.
         """
         S = self.n_shards
         m = self.row_partition.rows_per_shard
@@ -360,36 +367,66 @@ class PCSR:
                     dtype=None, rows_per_shard: int | None = None,
                     **device_caps) -> "PCSR":
         """Redistribute rows — the coarse-level repartitioner of
-        SURVEY.md §2.1.
+        SURVEY.md §2.1.  Fully on device for both cases:
 
-        Same-mesh repartitions (re-balance / re-align rows_per_shard) run
-        FULLY ON DEVICE: triplet recovery (`to_triplets`) + all_to_all
-        owner routing (`pcsr_from_coo_device`) — no host-global matrix.
-        Cross-mesh moves (e.g. shrink to fewer devices) fall back to the
-        host rebuild.
+        - same mesh (re-balance / re-align rows_per_shard): triplet
+          recovery (`to_triplets`) + all_to_all owner routing
+          (`pcsr_from_coo_device`);
+        - CROSS-mesh (e.g. shrink a coarse level to fewer devices): the
+          per-shard triplet blocks are re-blocked for the target shard
+          count and moved with one resharding ``jax.device_put`` (a
+          device-to-device copy — no host-global matrix), then assembled
+          on the target mesh.
+
+        Only ``col_partition`` (a bespoke column split) still routes
+        through the host rebuild, and that path rejects the device-only
+        arguments instead of silently ignoring them.
         """
-        if mesh is self.mesh and col_partition is None:
-            from parallel_amg_tpu.parallel.passembly_device import (
-                pcsr_from_coo_device,
-            )
+        if col_partition is not None:
+            if rows_per_shard is not None or device_caps:
+                raise ValueError(
+                    "repartition: rows_per_shard/device capacities are not "
+                    "honored by the col_partition host fallback — drop "
+                    "col_partition or the device-only arguments")
+            return PCSR.from_csr(self.to_csr(), mesh,
+                                 col_partition=col_partition,
+                                 dtype=dtype or self.diag_vals.dtype)
 
-            rows, cols, vals = self.to_triplets()
-            # a re-aligned ownership boundary can flip any entry between
-            # diag and offdiag, so both widths get the full row budget;
-            # overflow is loud, not silent, if these ever fall short
-            W = self.diag_cols.shape[2] + self.off_cols.shape[2]
-            caps = dict(
-                ell_width=W, off_width=W,
-                ghost_capacity=max(4 * self.recv_map.shape[1], 64),
-            )
-            caps.update(device_caps)
-            return pcsr_from_coo_device(
-                rows, cols, vals, self.true_shape, mesh,
-                rows_per_shard=rows_per_shard,
-                dtype=dtype or self.diag_vals.dtype, **caps)
-        csr = self.to_csr()
-        return PCSR.from_csr(csr, mesh, col_partition=col_partition,
-                             dtype=dtype or self.diag_vals.dtype)
+        from parallel_amg_tpu.parallel.mesh import row_sharding
+        from parallel_amg_tpu.parallel.passembly_device import (
+            pcsr_from_coo_device,
+        )
+
+        rows, cols, vals = self.to_triplets()
+        if mesh is not self.mesh:
+            S_new = mesh.devices.size
+            total = rows.shape[0] * rows.shape[1]
+            pad = (-total) % S_new
+
+            def reblock(a, fill):
+                flat = a.reshape(-1)
+                if pad:
+                    flat = jnp.concatenate(
+                        [flat, jnp.full((pad,), fill, flat.dtype)])
+                return flat.reshape(S_new, -1)
+
+            sh = row_sharding(mesh)
+            rows = jax.device_put(reblock(rows, -1), sh)
+            cols = jax.device_put(reblock(cols, 0), sh)
+            vals = jax.device_put(reblock(vals, 0), sh)
+        # a re-aligned ownership boundary can flip any entry between
+        # diag and offdiag, so both widths get the full row budget;
+        # overflow is loud, not silent, if these ever fall short
+        W = self.diag_cols.shape[2] + self.off_cols.shape[2]
+        caps = dict(
+            ell_width=W, off_width=W,
+            ghost_capacity=max(4 * self.recv_map.shape[1], 64),
+        )
+        caps.update(device_caps)
+        return pcsr_from_coo_device(
+            rows, cols, vals, self.true_shape, mesh,
+            rows_per_shard=rows_per_shard,
+            dtype=dtype or self.diag_vals.dtype, **caps)
 
     def diagonal(self):
         """Main diagonal as a global sharded vector (square matrices)."""

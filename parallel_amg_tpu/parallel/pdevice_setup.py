@@ -510,4 +510,7 @@ def sharded_device_setup(A, config: AMGConfig, mesh=None, true_dims=None,
             SBoundaryProlongator(last.P, true_d),
             SBoundaryRestrictor(last.R, true_d),
             last.d_inv, last.lam_max, true_n=last.true_n)
-    return Hierarchy(levels + tail_levels, coarse_inv, config)
+    from parallel_amg_tpu.parallel.pstencil import apply_halo_mode
+
+    return Hierarchy(apply_halo_mode(levels, config.halo_mode) + tail_levels,
+                     coarse_inv, config)

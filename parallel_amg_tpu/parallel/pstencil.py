@@ -57,6 +57,27 @@ def _halo_exchange(xl, h):
     return jnp.concatenate([left_halo, xl, right_halo], axis=0)
 
 
+def apply_halo_mode(levels, mode: str):
+    """Re-tag every ShardedStencil level operator with ``mode``.
+
+    This is how ``AMGConfig.halo_mode`` reaches the solve path: the
+    distributed setup drivers call it on the finished level list, so a
+    config-requested ``pallas_async`` actually changes the SpMV engine
+    (async_halo_matvec falls back to the XLA path per level when the slab
+    is too small to overlap — see phalo_async.py).
+    """
+    if mode == "xla":
+        return levels
+    from parallel_amg_tpu.amg.hierarchy import Level
+
+    out = []
+    for l in levels:
+        A = (l.A.with_halo_mode(mode) if isinstance(l.A, ShardedStencil)
+             else l.A)
+        out.append(Level(A, l.P, l.R, l.d_inv, l.lam_max, true_n=l.true_n))
+    return out
+
+
 @jax.tree_util.register_pytree_node_class
 class ShardedStencil:
     """Stencil operator on a grid sharded along axis 0.

@@ -268,7 +268,10 @@ def structured_distributed_setup(A, config: AMGConfig, mesh, dims,
     coarse_inv = jax.device_put(
         jnp.asarray(coarse_inverse_np(dense), jnp.float32),
         replicated_sharding(mesh))
-    return Hierarchy(levels, coarse_inv, config)
+    from parallel_amg_tpu.parallel.pstencil import apply_halo_mode
+
+    return Hierarchy(apply_halo_mode(levels, config.halo_mode),
+                     coarse_inv, config)
 
 
 def _true_dims(oh, i, dims0):

@@ -76,6 +76,28 @@ def report(op, time_s: float, sol_gbps: float, label: str | None = None
     )
 
 
+def _axis0_reach(A) -> int:
+    """Axis-0 halo reach of a structured operator.
+
+    Handles both offset encodings: N-D tuples (Stencil/ShardedStencil) and
+    flattened 1-D ints (FlatDIA, e.g. after ``with_spmv_backend(h, "mixed")``
+    — the shape that crashed the round-2 bench).  For FlatDIA the exact N-D
+    offsets are preferred when recorded; otherwise the reach is recovered by
+    rounding against the axis-0 stride (exact whenever the in-plane reach is
+    below stride0/2, true for any realistic stencil on a non-degenerate
+    grid).
+    """
+    offs = A.offsets
+    first = offs[0]
+    if isinstance(first, (tuple, list, np.ndarray)):
+        return max(abs(int(o[0])) for o in offs)
+    nd = getattr(A, "nd_offsets", None)
+    if nd is not None:
+        return max(abs(int(o[0])) for o in nd)
+    stride0 = int(np.prod(A.dims[1:])) if len(A.dims) > 1 else 1
+    return max(int(round(abs(int(o)) / stride0)) for o in offs)
+
+
 def cycle_collective_volume(hierarchy, n_shards: int,
                             agglomerate_n: int = 2048) -> dict:
     """Static per-V-cycle collective-traffic model for a row-sharded run.
@@ -99,14 +121,15 @@ def cycle_collective_volume(hierarchy, n_shards: int,
     total = 0
     for l in hierarchy.levels:
         A = l.A
-        if not hasattr(A, "dims") or not hasattr(A, "offsets"):
+        if not hasattr(A, "dims") or not hasattr(A, "offsets") \
+                or A.dims is None:
             continue
         n = int(np.prod(A.dims))
         if n <= agglomerate_n or A.dims[0] < n_shards:
             levels.append({"n": n, "halo_bytes_per_matvec": 0,
                            "replicated": True})
             continue
-        h = max(abs(int(o[0])) for o in A.offsets)
+        h = _axis0_reach(A)
         plane = int(np.prod(A.dims[1:])) if len(A.dims) > 1 else 1
         per_mv = 2 * h * plane * 4  # both directions, f32
         levels.append({"n": n, "halo": h,

@@ -159,3 +159,38 @@ def test_ell_spgemm_pairwise_parity():
     ref = (A_sp @ A_sp).astype(np.float32)
     assert abs(to_sp(C1) - to_sp(C2)).max() < 1e-4
     assert abs(to_sp(C2) - ref).max() < 1e-3
+
+
+def test_ell_spgemm_overflow_is_loud():
+    """ADVICE r2 medium: a too-small out_width must raise (strict) or drop
+    whole runs to a trash slot (non-strict) — never mis-sum overflow into a
+    surviving column — identically in both ESC variants."""
+    import pytest
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from parallel_amg_tpu.ops.csr import CSR
+    from parallel_amg_tpu.ops.ell import ELL
+    from parallel_amg_tpu.ops.ell_setup import ell_spgemm, ell_spgemm_pairwise
+    from parallel_amg_tpu.problems import poisson2d
+
+    coo = poisson2d(16)
+    A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
+    A = ELL.from_csr(CSR.from_scipy(A_sp), dtype=jnp.float32)
+    # A² rows have up to 13 entries; out_width=4 must overflow
+    with pytest.raises(ValueError, match="out_width"):
+        ell_spgemm(A, A, out_width=4)
+    with pytest.raises(ValueError, match="out_width"):
+        ell_spgemm_pairwise(A, A, out_width=4, row_chunk=64)
+
+    # non-strict: every surviving (col, val) must be EXACT vs the full
+    # product (dropping must not corrupt kept slots)
+    ref = (A_sp @ A_sp).tocsr().astype(np.float32)
+    for C in (ell_spgemm(A, A, out_width=4, strict=False),
+              ell_spgemm_pairwise(A, A, out_width=4, row_chunk=64,
+                                  strict=False)):
+        cols = np.asarray(C.cols)
+        vals = np.asarray(C.vals)
+        nnz = np.asarray(C.row_nnz)
+        for r in range(C.shape[0]):
+            for k in range(int(nnz[r])):
+                assert abs(vals[r, k] - ref[r, cols[r, k]]) < 1e-4

@@ -99,6 +99,44 @@ def test_bigger_problem_spmv(mesh8):
     np.testing.assert_allclose(y, A_sp @ x, rtol=2e-5, atol=2e-5)
 
 
+def test_cross_mesh_shrink_no_host(mesh8, monkeypatch):
+    """VERDICT r2 item 7: shrink a matrix to a 4-of-8 sub-mesh without the
+    to_csr host round-trip — triplets reshard with one device_put and
+    reassemble on the target mesh; parity through matvec."""
+    nx, S = 32, 8
+    rows, cols, vals, coo = _triplet_blocks(nx, S)
+    A = pcsr_from_coo_device(rows, cols, vals, coo.shape, mesh8,
+                             ell_width=5, off_width=2, ghost_capacity=64)
+    mesh4 = make_row_mesh(4)
+
+    def _boom(self):
+        raise AssertionError("repartition must not round-trip via to_csr")
+
+    monkeypatch.setattr(PCSR, "to_csr", _boom)
+    B = A.repartition(mesh4, ghost_capacity=256)
+    monkeypatch.undo()
+    assert B.mesh is mesh4
+    assert B.n_shards == 4
+    n = coo.shape[0]
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n).astype(np.float32)
+    xa = jnp.zeros((A.shape[1],), jnp.float32).at[:n].set(x)
+    xb = jnp.zeros((B.shape[1],), jnp.float32).at[:n].set(x)
+    np.testing.assert_allclose(
+        np.asarray(B @ xb)[:n], np.asarray(A @ xa)[:n],
+        rtol=1e-5, atol=1e-5)
+
+
+def test_repartition_rejects_unsupported_combo(mesh8):
+    rows, cols, vals, coo = _triplet_blocks(16, 8)
+    A = pcsr_from_coo_device(rows, cols, vals, coo.shape, mesh8,
+                             ell_width=5, off_width=2, ghost_capacity=64)
+    from parallel_amg_tpu.parallel.partition import uniform_row_partition
+    cp = uniform_row_partition(coo.shape[1], 8)
+    with pytest.raises(ValueError, match="col_partition"):
+        A.repartition(mesh8, col_partition=cp, rows_per_shard=64)
+
+
 def test_device_repartition_no_host(mesh8, monkeypatch):
     """Same-mesh repartition runs on device: to_triplets + all_to_all
     reassembly, with to_csr (the host round-trip) forbidden during the op."""
