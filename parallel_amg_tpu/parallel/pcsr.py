@@ -42,7 +42,8 @@ class PCSR:
 
     def __init__(self, diag_cols, diag_vals, off_cols, off_vals,
                  send_idx, recv_map, mesh, row_partition, col_partition,
-                 true_shape):
+                 true_shape, nb_offsets=None, nb_send=None,
+                 nb_recv_map=None):
         self.diag_cols = diag_cols  # (S, m, Wd) int32, local col ids
         self.diag_vals = diag_vals  # (S, m, Wd)
         self.off_cols = off_cols    # (S, m, Wo) int32, ghost slot ids
@@ -53,18 +54,30 @@ class PCSR:
         self.row_partition = row_partition
         self.col_partition = col_partition
         self.true_shape = tuple(true_shape)
+        # neighbor-wise exchange plan (with_neighbor_plan): per shard-offset
+        # d, a (S, C_d) send table driven by a ppermute ring shift — the
+        # exchanged bytes scale with the ACTUAL neighbor count instead of
+        # the dense S×C all_to_all (SURVEY.md §2.6 point-to-point row).
+        self.nb_offsets = tuple(nb_offsets) if nb_offsets else None
+        self.nb_send = tuple(nb_send) if nb_send is not None else None
+        self.nb_recv_map = nb_recv_map
 
     # -- pytree -----------------------------------------------------------
     def tree_flatten(self):
         children = (self.diag_cols, self.diag_vals, self.off_cols,
-                    self.off_vals, self.send_idx, self.recv_map)
+                    self.off_vals, self.send_idx, self.recv_map,
+                    self.nb_send, self.nb_recv_map)
         aux = (self.mesh, self.row_partition, self.col_partition,
-               self.true_shape)
+               self.true_shape, self.nb_offsets)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        mesh, row_p, col_p, true_shape, nb_offsets = aux
+        *core, nb_send, nb_recv_map = children
+        return cls(*core, mesh, row_p, col_p, true_shape,
+                   nb_offsets=nb_offsets, nb_send=nb_send,
+                   nb_recv_map=nb_recv_map)
 
     # -- properties -------------------------------------------------------
     @property
@@ -178,9 +191,63 @@ class PCSR:
             true_shape=(n_rows, n_cols),
         )
 
+    # -- neighbor-wise exchange plan --------------------------------------
+    def with_neighbor_plan(self) -> "PCSR":
+        """Derive the ppermute-ring exchange plan from the dense plan.
+
+        The dense plan ships a max-over-all-pairs C-sized buffer between
+        EVERY shard pair (S·C entries per shard per exchange); real
+        row-partitioned operators have O(1) neighbors, so this plan keeps
+        one (S, C_d) table per nonzero-traffic shard offset d and moves it
+        with a single ``ppermute`` ring shift — exchanged bytes become
+        Σ_d C_d ≈ neighbor_count × C.  Runs once on host (numpy over the
+        static plan arrays); ``matvec`` uses the ring path automatically.
+        """
+        S = self.n_shards
+        C = self.send_idx.shape[2]
+        rmap = np.asarray(self.recv_map)  # (S, G)
+        sidx = np.asarray(self.send_idx)
+        valid = rmap < S * C
+        owner = np.where(valid, rmap // C, 0)
+        rank = np.where(valid, rmap % C, 0)
+        s_col = np.arange(S)[:, None]
+        d_all = np.where(valid, (s_col - owner) % S, -1)
+        offsets = sorted({int(d) for d in np.unique(d_all) if d > 0})
+        if not offsets:
+            offsets = [1]  # degenerate: no ghosts at all; keep shapes legal
+        nb_send, bases = [], {}
+        base = 0
+        for d in offsets:
+            # shard o's send list for offset d is exactly its dense-plan
+            # list for destination (o+d)%S, truncated to the offset's max
+            cd = 1
+            for s in range(S):
+                o = (s - d) % S
+                cd = max(cd, int((valid[s] & (owner[s] == o)).sum()))
+            dest = (np.arange(S) + d) % S
+            nb_send.append(jnp.asarray(
+                sidx[np.arange(S), dest, :cd], dtype=jnp.int32))
+            bases[d] = base
+            base += cd
+        trash = base
+        nb_rmap = np.full(rmap.shape, trash, np.int32)
+        for d in offsets:
+            sel = valid & (d_all == d)
+            nb_rmap[sel] = bases[d] + rank[sel]
+        return PCSR(self.diag_cols, self.diag_vals, self.off_cols,
+                    self.off_vals, self.send_idx, self.recv_map, self.mesh,
+                    self.row_partition, self.col_partition, self.true_shape,
+                    nb_offsets=offsets, nb_send=nb_send,
+                    nb_recv_map=jnp.asarray(nb_rmap))
+
     # -- distributed SpMV -------------------------------------------------
     def matvec(self, x):
-        """y = A @ x for a global sharded x of shape (n_cols_padded,)."""
+        """y = A @ x for a global sharded x of shape (n_cols_padded,).
+
+        Uses the neighbor-wise ppermute plan when present
+        (``with_neighbor_plan``), the dense all_to_all plan otherwise."""
+        if self.nb_send is not None:
+            return self._matvec_neighbor(x)
         # Per-shard shapes inside shard_map: dc (1,m,Wd) dv (1,m,Wd)
         # oc (1,m,Wo) ov (1,m,Wo) sidx (1,S,C) rmap (1,G) xl (mc,)
         def body(dc, dv, oc, ov, sidx, rmap, xl):
@@ -202,6 +269,29 @@ class PCSR:
             out_specs=spec1,
         )(self.diag_cols, self.diag_vals, self.off_cols, self.off_vals,
           self.send_idx, self.recv_map, x)
+
+    def _matvec_neighbor(self, x):
+        S = self.n_shards
+        offsets = self.nb_offsets
+
+        def body(dc, dv, oc, ov, rmap, xl, *tbls):
+            dc, dv, oc, ov = dc[0], dv[0], oc[0], ov[0]
+            rmap = rmap[0]
+            parts = []
+            for d, tbl in zip(offsets, tbls):
+                perm = [(i, (i + d) % S) for i in range(S)]
+                parts.append(jax.lax.ppermute(xl[tbl[0]], ROW_AXIS, perm))
+            gvals = jnp.concatenate(
+                parts + [jnp.zeros((1,), xl.dtype)])[rmap]
+            return (jnp.sum(dv * xl[dc], axis=-1)
+                    + jnp.sum(ov * gvals[oc], axis=-1))
+
+        spec = P(ROW_AXIS)
+        n_in = 6 + len(self.nb_send)
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(spec,) * n_in, out_specs=spec,
+        )(self.diag_cols, self.diag_vals, self.off_cols, self.off_vals,
+          self.nb_recv_map, x, *self.nb_send)
 
     # -- ghost exchange primitives (the consistent!/assemble! analogs) ----
     def consistent(self, x):

@@ -67,6 +67,18 @@ def _replicate_pytree(x, mesh):
         lambda a: jax.device_put(a, rep) if hasattr(a, "dtype") else a, x)
 
 
+def with_neighbor_plans(h: Hierarchy) -> Hierarchy:
+    """Switch every PCSR operator in the hierarchy to the neighbor-wise
+    ppermute exchange plan (PCSR.with_neighbor_plan) — halo bytes scale
+    with actual neighbor count instead of the dense S×C all_to_all."""
+    def conv(T):
+        return T.with_neighbor_plan() if isinstance(T, PCSR) else T
+
+    levels = [Level(conv(l.A), conv(l.P), conv(l.R), l.d_inv, l.lam_max,
+                    true_n=l.true_n) for l in h.levels]
+    return Hierarchy(levels, h.coarse_inv, h.config)
+
+
 def distributed_setup(A, config: AMGConfig, mesh, dtype=jnp.float32,
                       seed: int = 0) -> Hierarchy:
     """Host setup (serial reference algorithms) → distributed PCSR hierarchy.
@@ -92,7 +104,8 @@ def distributed_setup(A, config: AMGConfig, mesh, dtype=jnp.float32,
             A.to_scipy() if isinstance(A, CSR)
             else (A.to_csr().to_scipy() if hasattr(A, "to_csr") else A),
             mesh, dtype=dtype)
-        return distributed_rs_setup(A_p, config, dtype=dtype, seed=seed)
+        return with_neighbor_plans(
+            distributed_rs_setup(A_p, config, dtype=dtype, seed=seed))
 
     from parallel_amg_tpu.oracle.serial_amg import oracle_setup
 
@@ -194,4 +207,4 @@ def distributed_setup(A, config: AMGConfig, mesh, dtype=jnp.float32,
         jnp.asarray(coarse_inverse_np(dense), dtype=jnp.float32),
         replicated_sharding(mesh),
     )
-    return Hierarchy(levels, coarse_inv, config)
+    return with_neighbor_plans(Hierarchy(levels, coarse_inv, config))
