@@ -227,10 +227,10 @@ def setup(A, config: AMGConfig = AMGConfig(), dtype=jnp.float32,
             from parallel_amg_tpu.amg.device_rs import device_rs_setup
 
             return device_rs_setup(A, config, dtype=dtype, seed=seed)
-        raise NotImplementedError(
-            "on_device_setup covers the structured block-SA path and the "
-            "classical RS path; algebraic greedy-SA setup runs on host"
-        )
+        # algebraic SA: MIS aggregation + smoothed tentative P on device
+        from parallel_amg_tpu.amg.device_sa import device_sa_setup
+
+        return device_sa_setup(A, config, dtype=dtype, seed=seed)
     return host_setup(A, config, dtype=dtype, seed=seed, dims=dims)
 
 
