@@ -315,8 +315,14 @@ def bench_amg_rs(nx=1024, degraded=False):
 
     os.makedirs(CACHE_DIR, exist_ok=True)
     coo = poisson2d(nx)
+    # smoothed_direct: the measured-cheap device interpolation (direct +
+    # one Jacobi pass).  The oracle below runs the SAME algorithm for
+    # apples-to-apples iteration parity, plus a true-ext+i oracle reference
+    # (the device extended_i path exists too — tests/test_extended_i.py —
+    # but smoothed_direct is the production recommendation at this scale).
     cfg = pat.AMGConfig(coarsening="rs", smoother="chebyshev",
-                        n_coarse_max=256, on_device_setup=True)
+                        n_coarse_max=256, on_device_setup=True,
+                        interpolation="smoothed_direct")
     cache = _rs_cache_path(nx)
     setup_s = None
     if os.path.exists(cache):
@@ -356,7 +362,9 @@ def bench_amg_rs(nx=1024, degraded=False):
         out["cg_iters_1e-8"] = int(res8.iters)
     except Exception as e:  # noqa: BLE001
         log(f"  mp 1e-8 FAILED: {e!s:.300}")
-    try:  # f64 serial oracle on the SAME matrix (vectorized PMIS/ext+i)
+    try:  # f64 serial oracle on the SAME matrix, SAME algorithm
+        import dataclasses
+
         from parallel_amg_tpu.oracle.serial_amg import oracle_pcg, oracle_setup
         A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
         t0 = time.perf_counter()
@@ -364,6 +372,11 @@ def bench_amg_rs(nx=1024, degraded=False):
         out["oracle_setup_s"] = time.perf_counter() - t0
         _, oracle_iters, _ = oracle_pcg(A_sp, b64, oh, tol=1e-8, maxiter=200)
         out["oracle_iters_1e-8"] = int(oracle_iters)
+        # quality reference: true distance-two ext+i (vectorized oracle)
+        oh2 = oracle_setup(A_sp, dataclasses.replace(
+            cfg, interpolation="extended_i"))
+        _, it2, _ = oracle_pcg(A_sp, b64, oh2, tol=1e-8, maxiter=200)
+        out["oracle_extended_i_iters_1e-8"] = int(it2)
     except Exception as e:  # noqa: BLE001
         log(f"  oracle FAILED: {e!s:.300}")
     return out

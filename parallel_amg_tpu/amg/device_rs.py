@@ -7,9 +7,12 @@ run on-device").  All O(n)/O(nnz) work is jnp over ELL planes:
 - PMIS splitting: Luby-style independent-set rounds in a ``lax.while_loop``
   over the symmetrized strength graph (the parallel-RS algorithm hypre uses
   — SURVEY.md §2.3), with random weights from the device PRNG;
-- interpolation: direct (distance-one, positive/negative split) built as
-  padded ELL planes, optionally Jacobi-smoothed (P ← (I−ωD⁻¹A)P) and
-  truncated to the p_max largest entries per row via ``lax.top_k``;
+- interpolation, three tiers (config.interpolation):
+  "extended_i" — TRUE distance-two extended+i (chunked candidate-table
+  vectorization of the oracle algorithm, entrywise parity-tested);
+  "smoothed_direct" — direct + one Jacobi pass P ← (I−ωD⁻¹A)P truncated
+  to p_max (the cheap production default for the acceptance scales);
+  "direct" — distance-one only;
 - Galerkin: R = ell_transpose(P), A_c = (R·A)·P via the ESC ell_spgemm.
 
 The host orchestrates level shapes (one width sync per product) — the same
@@ -152,6 +155,185 @@ def direct_interpolation_device(A: ELL, S, state, p_max: int):
     return ELL(pc.astype(jnp.int32), pv, row_nnz, (n, nc))
 
 
+def _compact_masked(cols, vals, mask, w_max: int | None = None):
+    """Per-row compaction of masked ELL entries to the front.
+
+    Returns (cols', vals', mask') of width w_max (default: synced max
+    count).  Order within a row is preserved (stable)."""
+    key = jnp.where(mask, 0, 1)
+    order = jnp.argsort(key, axis=1, stable=True)
+    cols_s = jnp.take_along_axis(cols, order, axis=1)
+    vals_s = jnp.take_along_axis(vals, order, axis=1)
+    mask_s = jnp.take_along_axis(mask, order, axis=1)
+    if w_max is None:
+        w_max = max(int(jnp.max(jnp.sum(mask, axis=1))), 1)  # host sync
+    return cols_s[:, :w_max], vals_s[:, :w_max], mask_s[:, :w_max]
+
+
+def extended_i_interpolation_device(A: ELL, S, state, p_max: int,
+                                    row_chunk: int | None = None) -> ELL:
+    """TRUE distance-two extended+i interpolation on device.
+
+    Exact vectorization of ``oracle.extended_i_interpolation`` (the
+    hypre-style PMIS partner): for F-point i the interpolatory set Ĉ_i is
+    its strong C-neighbors plus the strong C-neighbors of its strong
+    F-neighbors; each strong-F coupling a_ik distributes over
+    (Ĉ_i ∪ {i}) ∩ row(k) proportionally to same-sign couplings, the i-share
+    and weak couplings lump onto the diagonal, and rows truncate to the
+    p_max largest |w| with row-sum rescale.
+
+    Set-membership tests become chunked candidate-table comparisons
+    ((chunk, f_max, W, K) bool with K = c_max·(1+f_max)); rows are
+    processed in ``lax.map`` chunks sized to bound that intermediate.
+    Parity-tested entrywise against the oracle (tests/test_extended_i.py).
+    """
+    n = A.n_rows
+    W = A.cols.shape[1]
+    st_j = jnp.take(state, A.cols, axis=0)
+    strong_c = S & (st_j == COARSE)
+    strong_f = S & (st_j != COARSE)
+
+    CC, _, CCm = _compact_masked(A.cols, A.vals, strong_c)
+    FF, FFa, FFm = _compact_masked(A.cols, A.vals, strong_f)
+    c_max = CC.shape[1]
+    f_max = FF.shape[1]
+    K = c_max * (1 + f_max)
+
+    cmap = jnp.cumsum((state == COARSE).astype(jnp.int32)) - 1
+    nc = int(cmap[-1]) + 1  # host sync
+
+    if row_chunk is None:
+        # bound the (chunk, f_max, W, K) bool at ~64 MB
+        row_chunk = max(min(4096, (1 << 26) // max(f_max * W * K, 1)), 64)
+    pad_rows = (-n) % row_chunk
+    SENT = jnp.int32(n)
+
+    def chunk(args):
+        r0, ac, av, am, sc, sf = args
+        ch = ac.shape[0]
+        rid = r0 + jnp.arange(ch)
+        live = rid < n
+        # Ĉ_i candidate-id table (global row ids; may contain duplicates)
+        ccc = jnp.where(sc, ac, SENT)  # own strong-C cols, width W → compact?
+        # own strong-C compacted table for this chunk
+        occ = jnp.take(CC, jnp.clip(rid, 0, n - 1), axis=0)
+        ocm = jnp.take(CCm, jnp.clip(rid, 0, n - 1), axis=0) & live[:, None]
+        fF = jnp.take(FF, jnp.clip(rid, 0, n - 1), axis=0)
+        fFa = jnp.take(FFa, jnp.clip(rid, 0, n - 1), axis=0)
+        fFm = jnp.take(FFm, jnp.clip(rid, 0, n - 1), axis=0) & live[:, None]
+        Ck = jnp.take(CC, fF, axis=0)                  # (ch, f_max, c_max)
+        Ckm = jnp.take(CCm, fF, axis=0) & fFm[..., None]
+        chat = jnp.concatenate(
+            [jnp.where(ocm, occ, SENT),
+             jnp.where(Ckm, Ck, SENT).reshape(ch, f_max * c_max)], axis=1)
+
+        # own-entry pass
+        isdiag = (ac == rid[:, None]) & am
+        in_chat = jnp.any((ac[:, :, None] == chat[:, None, :])
+                          & (chat[:, None, :] < SENT), axis=2)
+        own_num = jnp.where(am & in_chat & ~isdiag, av, 0.0)
+        diag = jnp.sum(jnp.where(isdiag, av, 0.0), axis=1)
+        diag = diag + jnp.sum(
+            jnp.where(am & ~isdiag & ~in_chat & ~sf, av, 0.0), axis=1)
+
+        # strong-F distribution
+        kr_c = jnp.take(A.cols, fF, axis=0)            # (ch, f_max, W)
+        kr_v = jnp.take(A.vals, fF, axis=0)
+        kr_m = jnp.take(A.mask(), fF, axis=0) & fFm[..., None]
+        sign_ok = kr_v * fFa[..., None] > 0
+        m_is_i = kr_c == rid[:, None, None]
+        m_in_chat = jnp.any(
+            (kr_c[..., None] == chat[:, None, None, :])
+            & (chat[:, None, None, :] < SENT), axis=3)
+        # membership restricted to C points (Ĉ is all-C by construction,
+        # but a duplicate id could also be an F point's id — Ĉ ids are C by
+        # construction so no extra test needed)
+        dist_m = kr_m & sign_ok & (m_in_chat | m_is_i)
+        denom = jnp.sum(jnp.where(dist_m, kr_v, 0.0), axis=2)
+        has_d = denom != 0
+        share = jnp.where(
+            dist_m & has_d[..., None],
+            fFa[..., None] * kr_v / jnp.where(denom == 0, 1.0,
+                                              denom)[..., None], 0.0)
+        diag = diag + jnp.sum(jnp.where(fFm & ~has_d, fFa, 0.0), axis=1)
+        diag = diag + jnp.sum(jnp.where(m_is_i, share, 0.0), axis=(1, 2))
+
+        cand_c = jnp.concatenate(
+            [jnp.where(own_num != 0, ac, SENT),
+             jnp.where((share != 0) & ~m_is_i, kr_c,
+                       SENT).reshape(ch, f_max * W)], axis=1)
+        cand_v = jnp.concatenate(
+            [own_num, jnp.where(~m_is_i, share, 0.0).reshape(ch, f_max * W)],
+            axis=1)
+        cand_v = jnp.where(cand_c < SENT, cand_v, 0.0)
+
+        # dedup by global C id, then w = -num/diag
+        Kc = cand_c.shape[1]
+        order = jnp.argsort(cand_c, axis=1, stable=True)
+        cols_s = jnp.take_along_axis(cand_c, order, axis=1)
+        vals_s = jnp.take_along_axis(cand_v, order, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((ch, 1), bool), cols_s[:, 1:] != cols_s[:, :-1]],
+            axis=1) & (cols_s < SENT)
+        pos = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+        flat = (jnp.arange(ch)[:, None] * Kc
+                + jnp.clip(pos, 0, Kc - 1)).reshape(-1)
+        dsum = jax.ops.segment_sum(vals_s.reshape(-1), flat,
+                                   num_segments=ch * Kc).reshape(ch, Kc)
+        dcol = jax.ops.segment_max(
+            jnp.where(first, cols_s, 0).reshape(-1) * first.reshape(-1),
+            flat, num_segments=ch * Kc).reshape(ch, Kc)
+        nnz = jnp.where(first.any(axis=1), pos[:, -1] + 1, 0)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (ch, Kc), 1)
+        live_slot = w_iota < nnz[:, None]
+        safe_diag = jnp.where(diag == 0, 1.0, diag)
+        wts = jnp.where(live_slot, -dsum / safe_diag[:, None], 0.0)
+
+        # truncate to p_max (|w| top-k, row-sum rescale) — truncate_P analog
+        k = min(p_max, Kc)
+        topv, topi = jax.lax.top_k(jnp.abs(wts), k)
+        pv = jnp.take_along_axis(wts, topi, axis=1)
+        pcg = jnp.take_along_axis(dcol, topi, axis=1)
+        kept = topv > 0
+        total = jnp.sum(wts, axis=1)
+        keptsum = jnp.sum(jnp.where(kept, pv, 0.0), axis=1)
+        scale = jnp.where(keptsum != 0,
+                          total / jnp.where(keptsum == 0, 1.0, keptsum), 1.0)
+        pv = jnp.where(kept, pv * scale[:, None], 0.0)
+        pc = jnp.where(kept, jnp.take(cmap, jnp.clip(pcg, 0, n - 1)), 0)
+
+        # C rows: identity onto own coarse id
+        is_c = jnp.take(state, jnp.clip(rid, 0, n - 1)) == COARSE
+        own_cid = jnp.take(cmap, jnp.clip(rid, 0, n - 1))
+        pv = jnp.where(is_c[:, None],
+                       jnp.concatenate([jnp.ones((ch, 1), pv.dtype),
+                                        jnp.zeros((ch, k - 1), pv.dtype)],
+                                       axis=1), pv)
+        pc = jnp.where(is_c[:, None],
+                       jnp.concatenate([own_cid[:, None],
+                                        jnp.zeros((ch, k - 1), jnp.int32)],
+                                       axis=1), pc)
+        row_nnz = jnp.where(is_c, 1, jnp.sum(kept, axis=1)).astype(jnp.int32)
+        return pc.astype(jnp.int32), pv, row_nnz
+
+    ac = jnp.pad(A.cols, ((0, pad_rows), (0, 0)))
+    av = jnp.pad(A.vals, ((0, pad_rows), (0, 0)))
+    am = jnp.pad(A.mask(), ((0, pad_rows), (0, 0)))
+    sc = jnp.pad(strong_c, ((0, pad_rows), (0, 0)))
+    sf = jnp.pad(strong_f, ((0, pad_rows), (0, 0)))
+    n_ch = (n + pad_rows) // row_chunk
+    r0s = jnp.arange(n_ch) * row_chunk
+    pc, pv, rn = jax.lax.map(
+        chunk,
+        (r0s,
+         ac.reshape(n_ch, row_chunk, W), av.reshape(n_ch, row_chunk, W),
+         am.reshape(n_ch, row_chunk, W), sc.reshape(n_ch, row_chunk, W),
+         sf.reshape(n_ch, row_chunk, W)))
+    k = pc.shape[2]
+    return ELL(pc.reshape(-1, k)[:n], pv.reshape(-1, k)[:n],
+               rn.reshape(-1)[:n], (n, nc))
+
+
 def smooth_interpolation(A: ELL, P: ELL, omega: float, p_max: int) -> ELL:
     """P ← (I − ω D⁻¹A) P, truncated to p_max entries/row (row sums kept).
 
@@ -259,10 +441,15 @@ def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
             break
         S = classical_strength_mask(A_ell, config.theta)
         state = pmis_split_device(A_ell, S, seed=seed + lvl)
-        P = direct_interpolation_device(A_ell, S, state, config.p_max * 2)
-        if config.interpolation != "direct":
-            P = smooth_interpolation(A_ell, P, config.jacobi_omega,
-                                     config.p_max)
+        if config.interpolation == "extended_i":
+            P = extended_i_interpolation_device(A_ell, S, state,
+                                                config.p_max)
+        else:
+            P = direct_interpolation_device(A_ell, S, state,
+                                            config.p_max * 2)
+            if config.interpolation == "smoothed_direct":
+                P = smooth_interpolation(A_ell, P, config.jacobi_omega,
+                                         config.p_max)
         if P.shape[1] >= n:
             levels.append(Level(A_ell, None, None, d_inv, lam))
             break

@@ -66,8 +66,14 @@ class AMGConfig:
     nu_post: int = 1
     # Cycle type: "V" | "W"
     cycle: str = "V"
-    # RS interpolation: "extended_i" (distance-two, the scalable choice for
-    # PMIS grids — De Sterck/Yang-style) or "direct" (classical distance-one).
+    # RS interpolation:
+    #   "extended_i"      — TRUE distance-two extended+i (De Sterck/Yang,
+    #                       hypre's PMIS partner) — oracle AND device;
+    #   "smoothed_direct" — direct interpolation + one Jacobi improvement
+    #                       pass, truncated to p_max (cheaper setup;
+    #                       recovers most of the ext+i quality on PMIS
+    #                       grids — measured in BASELINE.md);
+    #   "direct"          — classical distance-one only.
     interpolation: str = "extended_i"
     # Truncate interpolation rows to this many largest-|w| entries
     # (rescaled to preserve row sums); bounds operator complexity and fixes
@@ -111,6 +117,11 @@ class AMGConfig:
             raise ValueError(f"smoother must be 'jacobi'|'chebyshev', got {self.smoother}")
         if self.cycle not in ("V", "W"):
             raise ValueError(f"cycle must be 'V'|'W', got {self.cycle}")
+        if self.interpolation not in ("extended_i", "smoothed_direct",
+                                      "direct"):
+            raise ValueError(
+                "interpolation must be extended_i|smoothed_direct|direct, "
+                f"got {self.interpolation}")
         if self.halo_mode not in ("xla", "pallas_async"):
             raise ValueError(
                 f"halo_mode must be xla|pallas_async, got {self.halo_mode}")

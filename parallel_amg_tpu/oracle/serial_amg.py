@@ -150,8 +150,112 @@ def truncate_P(P: sp.csr_matrix, p_max: int) -> sp.csr_matrix:
 def extended_i_interpolation(
     A: sp.csr_matrix, S: sp.csr_matrix, state: np.ndarray, p_max: int = 4
 ) -> sp.csr_matrix:
-    """Distance-two "extended+i" interpolation (the scalable partner of PMIS
-    splitting — hypre's default pairing for parallel classical AMG).
+    """Distance-two "extended+i" interpolation, fully vectorized.
+
+    Same algorithm as :func:`_extended_i_loop` (the row-loop reference it is
+    parity-tested against), recast as sparse matrix algebra so it runs at
+    the 1024² acceptance scale in seconds instead of minutes:
+
+    - Ĉ pattern     = pattern(S_C + S_F @ S_C)          (two spgemms)
+    - denominators  = ((Ĉ + I) @ A±ᵀ) ⊙ S_F             (per (i,k) pair)
+    - distribution  = (B± @ A±) ⊙ Ĉ,  B±[i,k] = a_ik/denom±[i,k]
+    - i-shares      = row-sums of B± ⊙ A±ᵀ
+    """
+    n = A.shape[0]
+    is_c = state == COARSE
+    cmap = -np.ones(n, dtype=np.int64)
+    cmap[is_c] = np.arange(int(is_c.sum()))
+
+    A = A.tocsr()
+    S = S.tocsr().astype(np.float64)
+    S.data[:] = 1.0
+    # strong C / strong F patterns (0/1 indicator matrices)
+    Sc = S.multiply(is_c[None, :]).tocsr()
+    Sf = (S - Sc).tocsr()
+    Sc.eliminate_zeros()
+    Sf.eliminate_zeros()
+
+    # Ĉ pattern (n×n indicator, columns are C points)
+    chat = (Sc + Sf @ Sc).tocsr()
+    chat.data[:] = 1.0
+
+    diag_a = A.diagonal()
+    offd = A - sp.diags(diag_a)
+    offd.eliminate_zeros()
+    A_pos = offd.maximum(0).tocsr()
+    A_neg = (-((-offd).maximum(0))).tocsr()
+
+    # per-(i,k) denominators over m ∈ Ĉ_i ∪ {i}, same sign as a_ik
+    chat_i = (chat + sp.identity(n)).tocsr()
+    chat_i.data[:] = 1.0
+    den_pos = (chat_i @ A_pos.T).multiply(Sf).tocsr()
+    den_neg = (chat_i @ A_neg.T).multiply(Sf).tocsr()
+
+    # strong-F couplings a_ik, split by sign
+    aF = A.multiply(Sf).tocsr()
+    aF_pos = aF.maximum(0).tocsr()
+    aF_neg = (-((-aF).maximum(0))).tocsr()
+
+    def ratio(num, den):
+        """Elementwise num/den on num's pattern; zero-denominator entries
+        drop out and their numerators return as per-row lumps."""
+        out = num.copy().tocsr()
+        den = den.tocsr()
+        r, c = out.nonzero()
+        if len(r) == 0:
+            return out, np.zeros(n)
+        sel = den[r, c]
+        dv = (np.ravel(sel.toarray()) if sp.issparse(sel)
+              else np.ravel(np.asarray(sel)))
+        v = out.data.copy()
+        out.data = np.where(dv != 0, v / np.where(dv == 0, 1.0, dv), 0.0)
+        lump = np.zeros(n)
+        np.add.at(lump, r[dv == 0], v[dv == 0])
+        out.eliminate_zeros()
+        return out, lump
+
+    B_pos, lump_pos = ratio(aF_pos, den_pos)
+    B_neg, lump_neg = ratio(aF_neg, den_neg)
+
+    # numerators: own Ĉ entries + distributed shares landing on Ĉ columns
+    num = A.multiply(chat.astype(bool)).tocsr()
+    num = num + (B_pos @ A_pos).multiply(chat).tocsr() \
+              + (B_neg @ A_neg).multiply(chat).tocsr()
+
+    # diagonal: a_ii + weak lumping + zero-denominator lumps + i-shares.
+    # weak = offdiag entries neither in Ĉ nor strong-F (the two are
+    # disjoint: Ĉ ⊆ C, strong-F ⊆ F)
+    in_chat = A.multiply(chat.astype(bool)).tocsr()
+    weak = offd - in_chat - aF
+    diag = (diag_a + np.asarray(weak.sum(axis=1)).ravel()
+            + lump_pos + lump_neg
+            + np.asarray(B_pos.multiply(A_pos.T).sum(axis=1)).ravel()
+            + np.asarray(B_neg.multiply(A_neg.T).sum(axis=1)).ravel())
+
+    safe = np.where(diag == 0, 1.0, diag)
+    coo = num.tocoo()
+    frow = ~is_c[coo.row]
+    rows = coo.row[frow]
+    cols = coo.col[frow]
+    vals = -coo.data[frow] / safe[rows]
+    # C rows: identity
+    crows = np.flatnonzero(is_c)
+    P = sp.csr_matrix(
+        (np.concatenate([vals, np.ones(len(crows))]),
+         (np.concatenate([rows, crows]),
+          np.concatenate([cmap[cols], cmap[crows]]))),
+        shape=(n, int(is_c.sum())))
+    P.sum_duplicates()
+    P.eliminate_zeros()
+    return truncate_P(P.tocsr(), p_max)
+
+
+def _extended_i_loop(
+    A: sp.csr_matrix, S: sp.csr_matrix, state: np.ndarray, p_max: int = 4
+) -> sp.csr_matrix:
+    """Row-loop reference implementation of extended+i (the original
+    formulation; kept as the parity oracle for the vectorized version and
+    the device kernel — too slow beyond ~10⁵ rows).
 
     For F-point i the interpolatory set Ĉ_i is C_i plus the strong C-points
     of i's strong F-neighbors.  Each strong F-neighbor k's connection a_ik is
@@ -289,6 +393,21 @@ def direct_interpolation(
 # ---------------------------------------------------------------------------
 # Smoothed aggregation
 # ---------------------------------------------------------------------------
+
+def smoothed_direct_interpolation(
+    A: sp.csr_matrix, S: sp.csr_matrix, state: np.ndarray,
+    omega: float, p_max: int
+) -> sp.csr_matrix:
+    """Direct interpolation + one Jacobi improvement pass
+    P ← (I − ω D⁻¹A)·P_direct, truncated to p_max (row sums preserved) —
+    the serial reference of the device "smoothed_direct" path
+    (amg/device_rs.py smooth_interpolation)."""
+    P = direct_interpolation(A, S, state)
+    d = A.diagonal()
+    d_inv = np.where(d != 0, 1.0 / d, 0.0)
+    P = P - omega * (sp.diags(d_inv) @ A @ P)
+    return truncate_P(P.tocsr(), p_max)
+
 
 def greedy_aggregation(S: sp.csr_matrix) -> np.ndarray:
     """Vanek-style greedy aggregation on strength graph S.
@@ -469,6 +588,9 @@ def oracle_setup(A, config: AMGConfig = AMGConfig(), seed: int = 0,
             state = pmis_split(S, seed=seed + lvl)
             if config.interpolation == "extended_i":
                 P = extended_i_interpolation(A, S, state, config.p_max)
+            elif config.interpolation == "smoothed_direct":
+                P = smoothed_direct_interpolation(
+                    A, S, state, config.jacobi_omega, config.p_max)
             else:
                 P = direct_interpolation(A, S, state)
         else:

@@ -390,6 +390,11 @@ def pcsr_interpolation(A: PCSR, Sd, So, state, cmap, mc_pad: int,
     G = A.recv_map.shape[1]
     n_true = A.true_shape[0]
     n_coarse = S * mc_pad
+    # distributed tiers: "direct" or Jacobi-smoothed direct; a distributed
+    # TRUE extended_i (needs a distance-TWO ghost exchange of the strong-C
+    # tables) is not built yet — "extended_i" substitutes smoothed-direct
+    # here (the single-device path has the real algorithm: amg/device_rs.py
+    # extended_i_interpolation_device)
     smooth = config.interpolation != "direct"
     k0 = max(config.p_max * (2 if smooth else 1), 1)
 

@@ -1,0 +1,101 @@
+"""TRUE extended+i interpolation: vectorized oracle vs row-loop reference
+vs the device kernel (closes the round-2 "true ext+i exists only in the
+oracle" gap — the device path no longer substitutes smoothed-direct under
+the extended_i name)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+import parallel_amg_tpu as pat
+from parallel_amg_tpu.config import AMGConfig
+from parallel_amg_tpu.ops.ell import ELL
+from parallel_amg_tpu.oracle.serial_amg import (
+    _extended_i_loop,
+    classical_strength,
+    extended_i_interpolation,
+    pmis_split,
+)
+from parallel_amg_tpu.problems import anisotropic2d, poisson2d
+
+
+def _cases():
+    coo = poisson2d(20)
+    A1 = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
+    coo2 = anisotropic2d(16, epsilon=1e-3)
+    A2 = sp.csr_matrix((coo2.val, (coo2.row, coo2.col)), shape=coo2.shape)
+    # a non-symmetric perturbation with positive off-diagonals mixed in
+    rng = np.random.default_rng(0)
+    A3 = A1.copy().tolil()
+    idx = rng.integers(0, A1.shape[0], size=30)
+    for i, j in zip(idx[:15], idx[15:]):
+        if i != j:
+            A3[i, j] = 0.3
+    A3 = A3.tocsr()
+    return [("poisson", A1), ("anisotropic", A2), ("perturbed", A3)]
+
+
+@pytest.mark.parametrize("name,A", _cases(), ids=[c[0] for c in _cases()])
+def test_vectorized_oracle_matches_loop(name, A):
+    S = classical_strength(A, 0.25)
+    state = pmis_split(S, seed=0)
+    P_vec = extended_i_interpolation(A, S, state, p_max=100)
+    P_loop = _extended_i_loop(A, S, state, p_max=100)
+    d = abs(P_vec - P_loop)
+    assert d.max() < 1e-12 if d.nnz else True
+
+
+def test_device_matches_oracle_entrywise():
+    """Device ext+i == oracle ext+i entrywise (p_max large → no top-k tie
+    ambiguity) on 2D Poisson."""
+    from parallel_amg_tpu.amg.device_rs import (
+        classical_strength_mask,
+        extended_i_interpolation_device,
+        pmis_split_device,
+    )
+    from parallel_amg_tpu.ops.csr import CSR
+
+    coo = poisson2d(20)
+    A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
+    A = ELL.from_csr(CSR.from_scipy(A_sp), dtype=jnp.float32)
+    S = classical_strength_mask(A, 0.25)
+    state = pmis_split_device(A, S, seed=0)
+
+    P_dev = extended_i_interpolation_device(A, S, state, p_max=100,
+                                            row_chunk=64)
+    # oracle on the same split (device PMIS uses the same weights)
+    S_sp = classical_strength(A_sp, 0.25)
+    st_np = np.asarray(state)
+    P_or = _extended_i_loop(A_sp, S_sp, st_np, p_max=100)
+
+    R, W = P_dev.cols.shape
+    P_dev_sp = sp.csr_matrix(
+        (np.asarray(P_dev.vals).ravel(),
+         (np.repeat(np.arange(R), W), np.asarray(P_dev.cols).ravel())),
+        shape=P_or.shape)
+    P_dev_sp.sum_duplicates()
+    P_dev_sp.eliminate_zeros()
+    d = abs(P_dev_sp - P_or)
+    assert (d.max() if d.nnz else 0.0) < 2e-6
+
+
+def test_extended_i_full_hierarchy_converges():
+    """Device RS setup with TRUE extended_i: PCG parity with the ext+i
+    oracle on the same matrix."""
+    from parallel_amg_tpu.oracle.serial_amg import oracle_pcg, oracle_setup
+
+    coo = poisson2d(48)
+    A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
+    cfg = AMGConfig(coarsening="rs", smoother="chebyshev",
+                    interpolation="extended_i", n_coarse_max=64,
+                    on_device_setup=True)
+    h = pat.setup(coo.to_csr(), cfg)
+    b = np.random.default_rng(0).normal(size=A_sp.shape[0])
+    res = pat.amg_pcg(h.levels[0].A, h, jnp.asarray(b, jnp.float32),
+                      tol=1e-6, maxiter=60)
+    assert bool(res.converged)
+    oh = oracle_setup(A_sp, cfg)
+    _, oit, _ = oracle_pcg(A_sp, b, oh, tol=1e-6, maxiter=60)
+    assert int(res.iters) <= int(oit) + 2
