@@ -31,12 +31,12 @@ from functools import partial
 
 import numpy as np
 
-# virtual CPU devices for the weak-scaling proxy stage (must precede any
-# jax import in this process)
-if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8"
-                               ).strip()
+# NOTE: the weak-scaling stage needs 8 virtual CPU devices, but mixing the
+# CPU mesh into the TPU-tunnel process reproducibly WEDGED the subsequent
+# RS setup stage (observed across rounds 2-3: identical standalone TPU-only
+# runs finish in ~380 s while the mixed-backend bench process stalls with
+# ~0 CPU for 20+ min).  The stage therefore runs in a clean subprocess
+# (bench_weak_scaling below); this process stays TPU-only.
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
@@ -315,14 +315,13 @@ def bench_amg_rs(nx=1024, degraded=False):
 
     os.makedirs(CACHE_DIR, exist_ok=True)
     coo = poisson2d(nx)
-    # smoothed_direct: the measured-cheap device interpolation (direct +
-    # one Jacobi pass).  The oracle below runs the SAME algorithm for
-    # apples-to-apples iteration parity, plus a true-ext+i oracle reference
-    # (the device extended_i path exists too — tests/test_extended_i.py —
-    # but smoothed_direct is the production recommendation at this scale).
+    # TRUE distance-two extended+i: the only interpolation whose quality
+    # holds at this scale (oracle at 1024²: ext+i 7 iters to 1e-6 vs 69 for
+    # Jacobi-smoothed direct and 32 for direct — PMIS grids need
+    # distance-two interpolation, the reason hypre pairs them).
     cfg = pat.AMGConfig(coarsening="rs", smoother="chebyshev",
                         n_coarse_max=256, on_device_setup=True,
-                        interpolation="smoothed_direct")
+                        interpolation="extended_i")
     cache = _rs_cache_path(nx)
     setup_s = None
     if os.path.exists(cache):
@@ -337,11 +336,26 @@ def bench_amg_rs(nx=1024, degraded=False):
         save_hierarchy(cache, h)
     n = h.levels[0].A.n_rows
     log(f"  setup {setup_s}s levels {[l.A.n_rows for l in h.levels]}")
+    # solve-path formats: the algebraic setup computes in padded ELL
+    # planes, but ELL matvec on TPU pays XLA's serialized gather — convert
+    # A/P/R to DIA (banded) / TWELL (Pallas gather kernel) for the solve.
+    # The ELL hierarchy stays for the f64 mixed-precision path (TWELL is
+    # f32-only).  Conversion is host-side; cached.
+    from parallel_amg_tpu.amg.hierarchy import with_best_formats
+
+    cache_fast = cache.replace(".pkl", "_fast.pkl")
+    if os.path.exists(cache_fast):
+        h_fast = load_hierarchy(cache_fast)
+    else:
+        t0 = time.perf_counter()
+        h_fast = with_best_formats(h, "tpu")
+        log(f"  solve-format conversion {time.perf_counter() - t0:.1f}s")
+        save_hierarchy(cache_fast, h_fast)
     b64 = np.random.default_rng(0).normal(size=n)
     b = jnp.asarray(b64, jnp.float32)
     t_cycle = marginal_time(lambda x, hh, bb: pat.vcycle(hh, x, bb),
-                            jnp.zeros_like(b), h, b)
-    res = pat.amg_pcg(h.levels[0].A, h, b, tol=1e-6, maxiter=100)
+                            jnp.zeros_like(b), h_fast, b)
+    res = pat.amg_pcg(None, h_fast, b, tol=1e-6, maxiter=100)
     out = {
         "n": n,
         "nx": nx,
@@ -362,9 +376,7 @@ def bench_amg_rs(nx=1024, degraded=False):
         out["cg_iters_1e-8"] = int(res8.iters)
     except Exception as e:  # noqa: BLE001
         log(f"  mp 1e-8 FAILED: {e!s:.300}")
-    try:  # f64 serial oracle on the SAME matrix, SAME algorithm
-        import dataclasses
-
+    try:  # f64 serial oracle on the SAME matrix, SAME algorithm (ext+i)
         from parallel_amg_tpu.oracle.serial_amg import oracle_pcg, oracle_setup
         A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
         t0 = time.perf_counter()
@@ -372,81 +384,34 @@ def bench_amg_rs(nx=1024, degraded=False):
         out["oracle_setup_s"] = time.perf_counter() - t0
         _, oracle_iters, _ = oracle_pcg(A_sp, b64, oh, tol=1e-8, maxiter=200)
         out["oracle_iters_1e-8"] = int(oracle_iters)
-        # quality reference: true distance-two ext+i (vectorized oracle)
-        oh2 = oracle_setup(A_sp, dataclasses.replace(
-            cfg, interpolation="extended_i"))
-        _, it2, _ = oracle_pcg(A_sp, b64, oh2, tol=1e-8, maxiter=200)
-        out["oracle_extended_i_iters_1e-8"] = int(it2)
     except Exception as e:  # noqa: BLE001
         log(f"  oracle FAILED: {e!s:.300}")
     return out
 
 
-def bench_weak_scaling(per_shard=(16, 96, 96)):
-    """1→8-shard weak-scaling nnz/s on the virtual CPU mesh — the
-    single-chip proxy for the ≥70% 1→N-host target (BASELINE.json:5;
-    VERDICT round-1 item 9).  Fixed per-shard slab, growing global grid;
-    the sharded-stencil SpMV pays one ppermute halo per step."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def bench_weak_scaling():
+    """1→8-shard weak-scaling proxy, in a CLEAN CPU-only subprocess
+    (scripts/bench_weak.py) — mixing the virtual CPU mesh into this
+    TPU-tunnel process reproducibly wedged the following RS stage."""
+    import subprocess
 
-    from parallel_amg_tpu.parallel.pstencil import ShardedStencil
-    from parallel_amg_tpu.problems.stencil_problems import poisson_stencil
-
-    from parallel_amg_tpu.parallel.pstencil import _halo_planes
-    from parallel_amg_tpu.parallel.mesh import ROW_AXIS
-
-    def timeit(f, *args):
-        jax.block_until_ready(f(*args))
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            for _ in range(10):
-                out = f(*args)
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / 10)
-        return best
-
-    cpus = jax.devices("cpu")
-    rates = {}
-    for k in (1, 2, 4, 8):
-        mesh = jax.sharding.Mesh(np.array(cpus[:k]), ("rows",))
-        dims = (per_shard[0] * k,) + tuple(per_shard[1:])
-        A = ShardedStencil.from_stencil(poisson_stencil(dims), mesh)
-        x = jax.device_put(jnp.ones(A.dims, jnp.float32),
-                           NamedSharding(mesh, P("rows")))
-        t = timeit(jax.jit(A.matvec), x)
-        rates[k] = 7 * int(np.prod(dims)) / t / 1e9
-        log(f"  weak-scaling {k} shards: {rates[k]:.2f} Gnnz/s")
-        if k == 8:
-            # comm-fraction proxy: halo exchange alone vs full matvec.
-            # Virtual shards share physical cores, so the raw per-shard
-            # table under-reports scaling; the comm fraction is the
-            # core-count-independent signal (efficiency >= 1 - fraction
-            # with overlap disabled; the overlap paths hide part of it).
-            def halo_only(xg):
-                def kern(xl):
-                    lh, rh = _halo_planes(xl, A.halo)
-                    return lh + rh
-                return jax.shard_map(
-                    kern, mesh=mesh,
-                    in_specs=P(ROW_AXIS), out_specs=P(ROW_AXIS))(xg)
-
-            t_halo = timeit(jax.jit(halo_only), x)
-            halo_fraction = t_halo / t
-    return {"per_shard": list(per_shard),
-            "gnnz_s": {str(k): round(v, 3) for k, v in rates.items()},
-            "efficiency_1_to_8_raw": round(rates[8] / (8 * rates[1]), 3),
-            "halo_fraction_8shard": round(halo_fraction, 4),
-            "efficiency_proxy": round(1 - halo_fraction, 4),
-            "note": ("virtual CPU mesh: shards share physical cores, so "
-                     "the raw table is a lower bound; halo_fraction is the "
-                     "transferable comm-overhead signal")}
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "scripts", "bench_weak.py")],
+        env=env, capture_output=True, text=True, timeout=600)
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"weak-scaling child rc={proc.returncode}: "
+            f"{proc.stderr[-300:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def _rs_cache_path(nx: int) -> str:
-    return os.path.join(CACHE_DIR, f"h_rs2d_{nx}_ncm256.pkl")
+    return os.path.join(CACHE_DIR, f"h_rs2d_{nx}_ncm256_xi.pkl")
 
 
 _T0 = time.perf_counter()
@@ -462,85 +427,153 @@ def _remaining() -> float:
     return _BUDGET_S - (time.perf_counter() - _T0)
 
 
-def main():
+def _stage_entry(stage: str, nx: int | None = None):
+    """Child-process entry: run ONE stage and print its JSON result as the
+    last stdout line.  Each stage gets a fresh runtime because a stage
+    sequence inside one TPU-tunnel process reproducibly wedges (observed
+    rounds 2-3: the RS stage hangs at ~0 CPU after the SA stage's
+    mixed-precision pass, while identical fresh-process runs complete)."""
     import jax
 
-    # Persistent compiled-executable cache: setup is compile-bound through
-    # the remote-compile tunnel.  Threshold 0: the RS setup dispatches many
-    # SMALL eager-op compiles (each ~30-80 ms of tunnel RTT) that a 0.5 s
-    # threshold never persists — measured 4-5× faster warm-process setup
-    # stages with everything cached.
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(CACHE_DIR, "xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
+    # Cache only BIG executables (≥5 s compiles: the SA/BSR/solver
+    # programs).  A threshold-0 cache flooded the dir with thousands of
+    # tiny eager-op entries whose HITS each pay a slow tunnel RPC — the
+    # RS stage (thousands of eager ops) then crawls at ~0 CPU and looks
+    # wedged (measured: fresh-empty-cache RS-1024² setup 357 s; populated
+    # tiny-entry cache >900 s with no progress).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     dev = jax.devices()[0]
-    log("device:", dev, "platform:", dev.platform)
+    log("stage", stage, "device:", dev, "platform:", dev.platform)
+    if stage == "core":
+        sol_bw = with_retry(measure_memcpy_bw, label="memcpy")
+        log(f"memcpy speed-of-light: {sol_bw/1e9:.1f} GB/s")
+        spmv = with_retry(bench_spmv, label="spmv")
+        out = {"sol_gbps": sol_bw / 1e9, "spmv": spmv}
+    elif stage == "amg_sa3d":
+        out = bench_amg()
+    elif stage == "amg_rs2d":
+        out = bench_amg_rs(nx=nx, degraded=nx != 1024)
+    elif stage == "bsr":
+        out = bench_bsr()
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+    print(json.dumps(out), flush=True)
 
-    details = {"device": str(dev), "budget_s": _BUDGET_S}
+
+def _spawn_stage(stage: str, timeout_s: float, nx: int | None = None):
+    """Run a stage in a fresh subprocess with a hard timeout."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage]
+    if nx is not None:
+        cmd += ["--nx", str(nx)]
+    log(f"[{stage}] spawning (timeout {timeout_s:.0f}s)")
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        sys.stderr.write((e.stderr or b"").decode("utf-8", "replace")[-4000:]
+                         if isinstance(e.stderr, bytes)
+                         else (e.stderr or "")[-4000:])
+        raise
+    sys.stderr.write(proc.stderr[-8000:])
+    if proc.returncode != 0:
+        raise RuntimeError(f"{stage} child rc={proc.returncode}: "
+                           f"{proc.stderr[-300:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main():
+    import subprocess
+
+    details = {"budget_s": _BUDGET_S}
 
     def flush_details():
         details["elapsed_s"] = round(time.perf_counter() - _T0, 1)
         with open("bench_details.json", "w") as f:
             json.dump(details, f, indent=2)
 
-    sol_bw = with_retry(measure_memcpy_bw, label="memcpy")
-    log(f"memcpy speed-of-light: {sol_bw/1e9:.1f} GB/s")
-    details["sol_gbps"] = sol_bw / 1e9
-
-    spmv = with_retry(bench_spmv, label="spmv")
-    log("spmv:", json.dumps(spmv))
-    details["spmv"] = spmv
-    flush_details()
-
-    # headline FIRST (stdout) — later stages only append to the details
-    # file; a failure or timeout after this point cannot lose the metric.
-    bytes_per_nnz = (spmv["n_points"] * spmv["n"] * 4 + 2 * spmv["n"] * 4) \
-        / spmv["nnz"]
-    sol_gnnz = sol_bw / 1e9 / bytes_per_nnz
-    headline = {
-        "metric": "spmv_gnnz_per_s_3d_poisson_128_stencil",
-        "value": round(spmv["gnnz_s"], 2),
-        "unit": "Gnnz/s",
-        "vs_baseline": round(spmv["gnnz_s"] / sol_gnnz, 4),
-    }
-    print(json.dumps(headline), flush=True)
-
-    def stage(name, fn, min_budget_s, *args, **kwargs):
-        """Run a stage if the remaining budget allows; record failures and
-        skips in details instead of dying (VERDICT r2 item 1a/1c)."""
+    def stage(name, min_budget_s, cap_s, nx=None, retries=1):
+        """Subprocess stage with budget floor, hard timeout, one retry
+        (a fresh process heals transient tunnel wedges)."""
         if _remaining() < min_budget_s:
             log(f"{name}: SKIPPED ({_remaining():.0f}s left < "
                 f"{min_budget_s}s floor)")
             details[name] = {"skipped": True,
-                             "remaining_s": round(_remaining(), 1)}
-        else:
+                            "remaining_s": round(_remaining(), 1)}
+            flush_details()
+            return None
+        timeout_s = max(min(cap_s, _remaining() - 30), 60)
+        for attempt in range(retries + 1):
             try:
-                details[name] = with_retry(fn, *args, attempts=2,
-                                           label=name, **kwargs)
+                details[name] = _spawn_stage(name, timeout_s, nx=nx)
                 log(f"{name}:", json.dumps(details[name]))
+                flush_details()
+                return details[name]
+            except subprocess.TimeoutExpired:
+                log(f"{name}: TIMED OUT after {timeout_s:.0f}s "
+                    f"(attempt {attempt + 1})")
+                details[name] = {"timeout_s": timeout_s}
             except Exception as e:  # noqa: BLE001
                 log(f"{name} FAILED: {e!s:.500}")
                 details[name] = {"error": f"{e!s:.300}"}
-        flush_details()
+            flush_details()
+            timeout_s = max(min(cap_s, _remaining() - 30), 60)
+            if _remaining() < min_budget_s:
+                break
+        return None
 
-    # cheap-first order: weak-scaling is pure-CPU seconds; SA is
+    core = stage("core", 90, 600)
+    if core:
+        sol_bw = core["sol_gbps"] * 1e9
+        spmv = core["spmv"]
+        # headline FIRST (stdout) — later stages only append to the details
+        # file; a failure or timeout after this point cannot lose it.
+        bytes_per_nnz = (spmv["n_points"] * spmv["n"] * 4
+                         + 2 * spmv["n"] * 4) / spmv["nnz"]
+        sol_gnnz = core["sol_gbps"] / bytes_per_nnz
+        print(json.dumps({
+            "metric": "spmv_gnnz_per_s_3d_poisson_128_stencil",
+            "value": round(spmv["gnnz_s"], 2),
+            "unit": "Gnnz/s",
+            "vs_baseline": round(spmv["gnnz_s"] / sol_gnnz, 4),
+        }), flush=True)
+
+    # cheap-first order: weak-scaling is a CPU subprocess; SA is
     # hierarchy-cached; RS degrades by scale; BSR runs last.
-    stage("weak_scaling", bench_weak_scaling, 30)
-    stage("amg_sa3d", bench_amg, 120)
+    try:
+        details["weak_scaling"] = bench_weak_scaling()
+        log("weak_scaling:", json.dumps(details["weak_scaling"]))
+    except Exception as e:  # noqa: BLE001
+        log(f"weak_scaling FAILED: {e!s:.500}")
+        details["weak_scaling"] = {"error": f"{e!s:.300}"}
+    flush_details()
 
-    # RS stage scale selection: full 1024² when its hierarchy is cached or
-    # the budget comfortably covers a fresh setup; otherwise degrade.
+    stage("amg_sa3d", 120, 900)
+
+    # RS scale selection: full 1024^2 when its hierarchy is cached or the
+    # budget comfortably covers a fresh setup; otherwise degrade — a number
+    # at reduced scale beats a timeout.
     nx = 1024
-    if not os.path.exists(_rs_cache_path(1024)):
-        if _remaining() < 600:
-            nx = 512 if (os.path.exists(_rs_cache_path(512))
-                         or _remaining() > 240) else 256
-    stage("amg_rs2d", bench_amg_rs, 60, nx=nx, degraded=nx != 1024)
+    if not os.path.exists(_rs_cache_path(1024)) and _remaining() < 700:
+        nx = 512 if (os.path.exists(_rs_cache_path(512))
+                     or _remaining() > 300) else 256
+    stage("amg_rs2d", 60, 900, nx=nx)
 
-    stage("bsr", bench_bsr, 120)
+    stage("bsr", 120, 900)
     log(f"bench complete in {time.perf_counter() - _T0:.0f}s")
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default=None)
+    ap.add_argument("--nx", type=int, default=None)
+    a = ap.parse_args()
+    if a.stage:
+        _stage_entry(a.stage, nx=a.nx)
+    else:
+        main()

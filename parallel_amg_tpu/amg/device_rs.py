@@ -427,9 +427,22 @@ def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
         )
         A_ell = ELL.from_csr(csr, dtype=dtype)
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    verbose = _os.environ.get("PAT_SETUP_VERBOSE") == "1"
+    _t0 = _time.perf_counter()
+
+    def _log(msg):
+        if verbose:
+            print(f"[rs-setup +{_time.perf_counter() - _t0:.1f}s] {msg}",
+                  file=_sys.stderr, flush=True)
+
     levels: List[Level] = []
     for lvl in range(config.max_levels):
         n = A_ell.n_rows
+        _log(f"level {lvl}: n={n} W={A_ell.cols.shape[1]}")
         diag = A_ell.diagonal()
         d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
         lam = jnp.asarray(0.0, dtype)
@@ -441,6 +454,7 @@ def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
             break
         S = classical_strength_mask(A_ell, config.theta)
         state = pmis_split_device(A_ell, S, seed=seed + lvl)
+        _log("  pmis done")
         if config.interpolation == "extended_i":
             P = extended_i_interpolation_device(A_ell, S, state,
                                                 config.p_max)
@@ -450,13 +464,17 @@ def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
             if config.interpolation == "smoothed_direct":
                 P = smooth_interpolation(A_ell, P, config.jacobi_omega,
                                          config.p_max)
+        _log(f"  interp done (nc={P.shape[1]}, Wp={P.cols.shape[1]})")
         if P.shape[1] >= n:
             levels.append(Level(A_ell, None, None, d_inv, lam))
             break
         R = ell_transpose(P)
+        _log(f"  transpose done (Wr={R.cols.shape[1]})")
         RA = ell_spgemm(R, A_ell)
+        _log(f"  RA done (W={RA.cols.shape[1]})")
         A_c = ell_spgemm(RA, P)
         A_c = ell_prune(A_c, tol=0.0)
+        _log(f"  Ac done (W={A_c.cols.shape[1]})")
         levels.append(Level(A_ell, P, R, d_inv, lam))
         A_ell = A_c
     from parallel_amg_tpu.amg.hierarchy import coarse_inverse_np

@@ -189,6 +189,42 @@ def with_spmv_backend(h: "Hierarchy", backend: str = "mixed") -> "Hierarchy":
     return Hierarchy(levels, h.coarse_inv, h.config)
 
 
+def with_best_formats(h: "Hierarchy", target_backend: str = "tpu"
+                      ) -> "Hierarchy":
+    """Convert ELL level operators (A, P, R) to the fastest solve formats
+    for ``target_backend``: DIA for banded square operators, TWELL (the
+    Pallas within-tile-gather kernel) for everything else on TPU.
+
+    The algebraic setup paths (device_rs/device_sa) compute in padded ELL
+    planes; the SOLVE path pays XLA's serialized gather for every ELL
+    matvec on TPU (~0.1 Gnnz/s — ops/twell.py) unless converted.  Build is
+    host-side (runs once, cacheable); ``target_backend`` makes the choice
+    explicit so a CPU process can prepare a TPU-ready hierarchy.
+    Keep the un-converted hierarchy for float64 paths (TWELL is f32-only).
+    """
+    from parallel_amg_tpu.ops.dia import DIA
+    from parallel_amg_tpu.ops.twell import TWELL
+
+    def conv(T):
+        if not isinstance(T, ELL):
+            return T
+        csr = T.to_csr()
+        n_rows, n_cols = csr.shape
+        if n_rows == n_cols:
+            dia = DIA.from_csr(csr, max_diags=192)
+            if dia is not None:
+                fill = csr.nnz / max(dia.n_diags * n_rows, 1)
+                if fill > 0.15 or dia.n_diags <= 32:
+                    return dia
+        if target_backend == "tpu":
+            return TWELL.from_csr(csr)
+        return T
+
+    levels = [Level(conv(l.A), conv(l.P), conv(l.R), l.d_inv, l.lam_max,
+                    true_n=l.true_n) for l in h.levels]
+    return Hierarchy(levels, h.coarse_inv, h.config)
+
+
 # ---------------------------------------------------------------------------
 # Setup driver
 # ---------------------------------------------------------------------------
