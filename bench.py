@@ -389,6 +389,87 @@ def bench_amg_rs(nx=1024, degraded=False):
     return out
 
 
+def bench_anisotropic(nx=1024, epsilon=1e-3):
+    """Acceptance config #4 at scale: 2D anisotropic diffusion (ε=1e-3),
+    classical strength filtering + Chebyshev smoothing (BASELINE.json:10).
+    Same RS/ext+i pipeline as config #2; the weak y-coupling must be dropped
+    by strength-of-connection or coarsening quality collapses (VERDICT r3
+    weak #8: coverage previously stopped at 32²)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    import parallel_amg_tpu as pat
+    from parallel_amg_tpu.problems.anisotropic import anisotropic2d
+    from parallel_amg_tpu.utils.checkpoint import load_hierarchy, save_hierarchy
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    coo = anisotropic2d(nx, epsilon=epsilon)
+    cfg = pat.AMGConfig(coarsening="rs", smoother="chebyshev",
+                        n_coarse_max=256, on_device_setup=True,
+                        interpolation="extended_i")
+    cache = os.path.join(CACHE_DIR, f"h_aniso2d_{nx}_e{epsilon:g}.pkl")
+    setup_s = None
+    if os.path.exists(cache):
+        log(f"loading cached anisotropic hierarchy {cache}")
+        h = load_hierarchy(cache)
+    else:
+        log(f"on-device RS setup anisotropic {nx}^2 eps={epsilon:g} ...")
+        t0 = time.perf_counter()
+        h = pat.setup(coo.to_csr(), cfg)
+        jax.block_until_ready(h.coarse_inv)
+        setup_s = time.perf_counter() - t0
+        save_hierarchy(cache, h)
+    n = h.levels[0].A.n_rows
+    log(f"  setup {setup_s}s levels {[l.A.n_rows for l in h.levels]}")
+    from parallel_amg_tpu.amg.hierarchy import with_best_formats
+
+    cache_fast = cache.replace(".pkl", "_fast.pkl")
+    if os.path.exists(cache_fast):
+        h_fast = load_hierarchy(cache_fast)
+    else:
+        t0 = time.perf_counter()
+        h_fast = with_best_formats(h, "tpu")
+        log(f"  solve-format conversion {time.perf_counter() - t0:.1f}s")
+        save_hierarchy(cache_fast, h_fast)
+    b64 = np.random.default_rng(0).normal(size=n)
+    b = jnp.asarray(b64, jnp.float32)
+    t_cycle = marginal_time(lambda x, hh, bb: pat.vcycle(hh, x, bb),
+                            jnp.zeros_like(b), h_fast, b)
+    res = pat.amg_pcg(None, h_fast, b, tol=1e-6, maxiter=150)
+    out = {
+        "n": n,
+        "nx": nx,
+        "epsilon": epsilon,
+        "setup_s": setup_s,
+        "vcycle_s": t_cycle,
+        "cg_iters_1e-6": int(res.iters),
+        "converged": bool(res.converged),
+    }
+    try:
+        gc, oc = h.complexity()
+        out["grid_complexity"] = round(gc, 3)
+        out["operator_complexity"] = round(oc, 3)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        res8 = pat.amg_pcg_mp(None, h, b64, tol=1e-8, maxiter=300)
+        out["cg_iters_1e-8"] = int(res8.iters)
+    except Exception as e:  # noqa: BLE001
+        log(f"  mp 1e-8 FAILED: {e!s:.300}")
+    try:
+        from parallel_amg_tpu.oracle.serial_amg import oracle_pcg, oracle_setup
+        A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
+        t0 = time.perf_counter()
+        oh = oracle_setup(A_sp, cfg)
+        out["oracle_setup_s"] = time.perf_counter() - t0
+        _, oracle_iters, _ = oracle_pcg(A_sp, b64, oh, tol=1e-8, maxiter=300)
+        out["oracle_iters_1e-8"] = int(oracle_iters)
+    except Exception as e:  # noqa: BLE001
+        log(f"  oracle FAILED: {e!s:.300}")
+    return out
+
+
 def bench_weak_scaling():
     """1→8-shard weak-scaling proxy, in a CLEAN CPU-only subprocess
     (scripts/bench_weak.py) — mixing the virtual CPU mesh into this
@@ -457,6 +538,8 @@ def _stage_entry(stage: str, nx: int | None = None):
         out = bench_amg_rs(nx=nx, degraded=nx != 1024)
     elif stage == "bsr":
         out = bench_bsr()
+    elif stage == "anisotropic":
+        out = bench_anisotropic(nx=nx or 1024)
     else:
         raise SystemExit(f"unknown stage {stage}")
     print(json.dumps(out), flush=True)
@@ -525,21 +608,25 @@ def main():
                 break
         return None
 
+    headline = None
     core = stage("core", 90, 600)
     if core:
         sol_bw = core["sol_gbps"] * 1e9
         spmv = core["spmv"]
         # headline FIRST (stdout) — later stages only append to the details
-        # file; a failure or timeout after this point cannot lose it.
+        # file; a failure or timeout after this point cannot lose it.  It is
+        # ALSO re-printed as the very last stdout line of main() because the
+        # driver parses the LAST line (rounds 2-3 recorded parsed: null).
         bytes_per_nnz = (spmv["n_points"] * spmv["n"] * 4
                          + 2 * spmv["n"] * 4) / spmv["nnz"]
         sol_gnnz = core["sol_gbps"] / bytes_per_nnz
-        print(json.dumps({
+        headline = json.dumps({
             "metric": "spmv_gnnz_per_s_3d_poisson_128_stencil",
             "value": round(spmv["gnnz_s"], 2),
             "unit": "Gnnz/s",
             "vs_baseline": round(spmv["gnnz_s"] / sol_gnnz, 4),
-        }), flush=True)
+        })
+        print(headline, flush=True)
 
     # cheap-first order: weak-scaling is a CPU subprocess; SA is
     # hierarchy-cached; RS degrades by scale; BSR runs last.
@@ -563,7 +650,17 @@ def main():
     stage("amg_rs2d", 60, 900, nx=nx)
 
     stage("bsr", 120, 900)
+
+    # anisotropic config #4: full 1024² when cached or budget allows a fresh
+    # setup; degrade to 512² otherwise (a number beats a timeout).
+    aniso_cache = os.path.join(CACHE_DIR, "h_aniso2d_1024_e0.001.pkl")
+    nx_a = 1024 if (os.path.exists(aniso_cache) or _remaining() > 500) else 512
+    stage("anisotropic", 60, 600, nx=nx_a)
     log(f"bench complete in {time.perf_counter() - _T0:.0f}s")
+    if headline is not None:
+        # The driver parses the LAST stdout line as the machine-readable
+        # headline — keep this print final, after every stage.
+        print(headline, flush=True)
 
 
 if __name__ == "__main__":

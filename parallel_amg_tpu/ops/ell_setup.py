@@ -127,7 +127,10 @@ def ell_spgemm(A: ELL, B: ELL, out_width: int | None = None,
     is_first = is_first & (cols_s < SENT)
     pos = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # (R, K)
     row_nnz = jnp.where(is_first.any(axis=1), pos[:, -1] + 1, 0)
-    check_overflow = strict and out_width is not None
+    # strict is an eager-only check (concrete host readback); under tracing
+    # (jit/while_loop) it silently degrades to strict=False (ADVICE r3)
+    check_overflow = (strict and out_width is not None
+                      and not isinstance(row_nnz, jax.core.Tracer))
     if out_width is None:
         out_width = max(int(jnp.max(row_nnz)), 1)  # host sync
     # runs at pos >= out_width go whole to the trash slot (slot out_width):
@@ -250,7 +253,8 @@ def ell_spgemm_pairwise(A: ELL, B: ELL, out_width: int,
     cc = cc.reshape(Rp, out_width)[:R]
     cv = cv.reshape(Rp, out_width)[:R]
     rn_true = rn.reshape(Rp)[:R]
-    if strict:
+    if strict and not isinstance(rn_true, jax.core.Tracer):
+        # eager-only check; under tracing degrades to strict=False
         dropped = int(jnp.sum(jnp.maximum(rn_true - out_width, 0)))
         if dropped:
             raise ValueError(

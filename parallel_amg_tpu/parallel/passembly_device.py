@@ -222,6 +222,24 @@ def pcsr_from_coo_device(rows, cols, vals, shape, mesh, *,
                     f"device assembly overflow: {name} too small "
                     f"({int(cnt)} entries dropped) — raise the capacity")
 
+    # Compact the halo plan to the TRUE ghost/send counts.  The requested
+    # capacities are compile-time upper bounds; keeping them as the plan
+    # size made every downstream exchange pay for the allowance, and worse,
+    # setup chains that size the next level's capacity from this level's G
+    # compounded geometrically (measured: G 48 → 3072 → 196608 over three
+    # RS levels before this fix).  Ghost slots are a per-shard prefix by
+    # construction (sorted-unique ranks), so slicing is exact.
+    rmap_np = np.asarray(rmap)  # (S, G) — host sync shared with overflow
+    valid = rmap_np < S * C
+    G_true = max(int(valid.sum(axis=1).max()), 1)
+    C_true = (max(int((rmap_np[valid] % C).max()) + 1, 1)
+              if valid.any() else 1)
+    if G_true < G or C_true < C:
+        rmap = jnp.where(
+            rmap < S * C, (rmap // C) * C_true + rmap % C,
+            S * C_true).astype(jnp.int32)[:, :G_true]
+        sidx = sidx[:, :, :C_true]
+
     return PCSR(diag_cols=dc, diag_vals=dv, off_cols=oc, off_vals=ov,
                 send_idx=sidx, recv_map=rmap, mesh=mesh,
                 row_partition=row_part, col_partition=col_part,

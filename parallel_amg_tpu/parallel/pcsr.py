@@ -215,7 +215,12 @@ class PCSR:
         offsets = sorted({int(d) for d in np.unique(d_all) if d > 0})
         if not offsets:
             offsets = [1]  # degenerate: no ghosts at all; keep shapes legal
-        nb_send, bases = [], {}
+        # invariant the truncation relies on: no self-owned ghosts — a plan
+        # violating it would silently read zeros from the trash slot
+        # (ADVICE r3); fail loudly at plan-build time instead
+        assert not np.any(valid & (d_all == 0)), (
+            "with_neighbor_plan: dense plan contains self-owned ghosts")
+        nb_send, bases, cds = [], {}, {}
         base = 0
         for d in offsets:
             # shard o's send list for offset d is exactly its dense-plan
@@ -228,11 +233,17 @@ class PCSR:
             nb_send.append(jnp.asarray(
                 sidx[np.arange(S), dest, :cd], dtype=jnp.int32))
             bases[d] = base
+            cds[d] = cd
             base += cd
         trash = base
         nb_rmap = np.full(rmap.shape, trash, np.int32)
         for d in offsets:
             sel = valid & (d_all == d)
+            # per-(owner,dest) ranks must be contiguous from 0 within cd —
+            # both plan builders guarantee it; assert so a future plan that
+            # violates it fails here, not as silent zeros in matvec
+            assert rank[sel].size == 0 or int(rank[sel].max()) < cds[d], (
+                f"with_neighbor_plan: ghost rank ≥ send width for offset {d}")
             nb_rmap[sel] = bases[d] + rank[sel]
         return PCSR(self.diag_cols, self.diag_vals, self.off_cols,
                     self.off_vals, self.send_idx, self.recv_map, self.mesh,

@@ -16,7 +16,12 @@ Communication pattern per stage (each a single shard_map program):
   reverse max-push of candidate weights (``assemble`` with max), and one
   ghost fetch of the updated states for the F-assignment — the same
   exchange structure hypre's parallel PMIS uses;
-- interpolation: one ghost fetch of (state, coarse-id) pairs;
+- interpolation: one ghost fetch of (state, coarse-id) pairs; the TRUE
+  distance-two extended+i tier additionally exchanges each halo row's full
+  global-column row table and its strong-C (fine-id, coarse-id) table —
+  distance-two points are compared by id only, never gathered, so ONE extra
+  ghost-row exchange covers the extended stencil (hypre's ext+i comm
+  pattern);
 - SpGEMM C=A·B: one all_to_all of B's ghost ROWS through A's halo plan
   (the distributed-memory row-fetch formulation), then a local ESC
   sort/dedup, then the triplet reassembly all_to_all.
@@ -97,6 +102,17 @@ def _fetch_rows(sidx, rmap, rows_c, rows_v, fill_c):
     fv = jnp.concatenate(
         [rv.reshape(S * C, W), jnp.zeros((1, W), rv.dtype)])
     return fc[rmap], fv[rmap]
+
+
+def _fetch_tab(sidx, rmap, tab, fill):
+    """Ghost ROW fetch of ONE (m, W) table through the halo plan → (G, W)."""
+    S, C = sidx.shape
+    W = tab.shape[1]
+    b = tab[sidx]  # (S, C, W)
+    r = jax.lax.all_to_all(b, ROW_AXIS, 0, 0, tiled=True)
+    f = jnp.concatenate(
+        [r.reshape(S * C, W), jnp.full((1, W), fill, tab.dtype)])
+    return f[rmap]
 
 
 def _dedup_rows(cand_cols, cand_vals, sentinel):
@@ -379,22 +395,289 @@ def _interp_kernel(dc, dv, oc, ov, sd, so, sidx, rmap, state, cmap, d_inv,
     return rows[None], cols[None], vals[None]
 
 
-def pcsr_interpolation(A: PCSR, Sd, So, state, cmap, mc_pad: int,
-                       config: AMGConfig):
-    """Direct (+ Jacobi-smoothed) classical interpolation → PCSR P.
+def _xi_tables_kernel(dc, dv, oc, ov, sd, so, sidx, rmap, state, cmap,
+                      *, m, sent_f):
+    """Stage A of distributed extended+i: per-local-row exchangeable tables.
 
-    P: rows on A's fine partition, cols on the shard-padded coarse
-    numbering (n_cols = S·mc_pad)."""
+    Emits (all aligned to the [diag planes | off planes] position order):
+    - rowc/rowv: full-row table with GLOBAL column ids (sent_f = invalid);
+    - sfm: strong-F mask per position;
+    - sc_fid/sc_cid: strong-C (global fine id, global coarse id) pairs
+      compacted to the row front, plus per-row count;
+    - sf_e/sf_a: strong-F (extended local index ∈ [0, m+G), coupling a_ik)
+      pairs compacted to the row front, plus per-row count.
+    """
+    dc, dv, oc, ov = dc[0], dv[0], oc[0], ov[0]
+    sd, so = sd[0], so[0]
+    sidx, rmap = sidx[0], rmap[0]
+    S = sidx.shape[0]
+    G = rmap.shape[0]
+    me = jax.lax.axis_index(ROW_AXIS)
+
+    # ghost global row ids (same construction as _global_cols_kernel)
+    recv = jax.lax.all_to_all(sidx, ROW_AXIS, 0, 0, tiled=True)
+    owner_base = (jnp.arange(S) * m)[:, None] + recv
+    gids = jnp.concatenate(
+        [owner_base.reshape(-1), jnp.full((1,), -1, jnp.int32)])[rmap]
+
+    st_g = _fetch(sidx, rmap, state, fill=jnp.int32(FINE))
+    cm_g = _fetch(sidx, rmap, cmap, fill=jnp.int32(-1))
+
+    dmask = dv != 0
+    omask = (ov != 0) & (gids[oc] >= 0)
+    rowc = jnp.concatenate(
+        [jnp.where(dmask, me * m + dc, sent_f),
+         jnp.where(omask, gids[oc], sent_f)], axis=1).astype(jnp.int32)
+    rowv = jnp.concatenate(
+        [jnp.where(dmask, dv, 0.0), jnp.where(omask, ov, 0.0)], axis=1)
+
+    scd = sd & (state[dc] == COARSE)
+    sco = so & (st_g[oc] == COARSE)
+    sfd = sd & (state[dc] != COARSE)
+    sfo = so & (st_g[oc] != COARSE)
+    sfm = jnp.concatenate([sfd, sfo], axis=1)
+
+    sc_m = jnp.concatenate([scd, sco], axis=1)
+    sc_fid = jnp.where(sc_m, rowc, sent_f)
+    sc_cid = jnp.concatenate(
+        [jnp.where(scd, cmap[dc], -1), jnp.where(sco, cm_g[oc], -1)],
+        axis=1).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(sc_m, 0, 1), axis=1, stable=True)
+    sc_fid = jnp.take_along_axis(sc_fid, order, axis=1)
+    sc_cid = jnp.take_along_axis(sc_cid, order, axis=1)
+    c_cnt = jnp.sum(sc_m, axis=1).astype(jnp.int32)
+
+    EXT = jnp.int32(m + G)
+    sf_e = jnp.concatenate(
+        [jnp.where(sfd, dc, EXT), jnp.where(sfo, m + oc, EXT)],
+        axis=1).astype(jnp.int32)
+    sf_a = jnp.concatenate(
+        [jnp.where(sfd, dv, 0.0), jnp.where(sfo, ov, 0.0)], axis=1)
+    order_f = jnp.argsort(jnp.where(sfm, 0, 1), axis=1, stable=True)
+    sf_e = jnp.take_along_axis(sf_e, order_f, axis=1)
+    sf_a = jnp.take_along_axis(sf_a, order_f, axis=1)
+    f_cnt = jnp.sum(sfm, axis=1).astype(jnp.int32)
+
+    return (rowc[None], rowv[None], sfm[None], sc_fid[None], sc_cid[None],
+            sf_e[None], sf_a[None], c_cnt[None], f_cnt[None])
+
+
+def _xi_main_kernel(rowc, rowv, sfm, scf, sccid, sfe, sfa, state, cmap,
+                    sidx, rmap,
+                    *, m, n_true, sent_f, sent_c, p_max, row_chunk):
+    """Stage B of distributed extended+i: ONE extra ghost-row exchange of
+    the stage-A tables gives each shard the distance-two data (full rows +
+    strong-C tables of its halo rows); the per-row computation is then the
+    exact chunked candidate-table algorithm of
+    ``amg.device_rs.extended_i_interpolation_device``, with candidates
+    carried directly in global COARSE-id space (Ĉ members are C points, so
+    every matched fine id has a known coarse id from the chat table)."""
+    rowc, rowv, sfm = rowc[0], rowv[0], sfm[0]
+    scf, sccid = scf[0], sccid[0]
+    sfe, sfa = sfe[0], sfa[0]
+    sidx, rmap = sidx[0], rmap[0]
+    me = jax.lax.axis_index(ROW_AXIS)
+    G = rmap.shape[0]
+    W = rowc.shape[1]
+    c_max = scf.shape[1]
+    f_max = sfe.shape[1]
+    EXT = m + G
+
+    # the distance-two exchange: ghost rows' tables through the halo plan
+    growc = _fetch_tab(sidx, rmap, rowc, jnp.int32(sent_f))
+    growv = _fetch_tab(sidx, rmap, rowv, jnp.float32(0.0))
+    gscf = _fetch_tab(sidx, rmap, scf, jnp.int32(sent_f))
+    gsccid = _fetch_tab(sidx, rmap, sccid, jnp.int32(-1))
+
+    # extended tables indexed by e ∈ [0, m+G]; row m+G = inert sentinel
+    rowc_ext = jnp.concatenate(
+        [rowc, growc, jnp.full((1, W), sent_f, jnp.int32)], axis=0)
+    rowv_ext = jnp.concatenate(
+        [rowv, growv, jnp.zeros((1, W), rowv.dtype)], axis=0)
+    scf_ext = jnp.concatenate(
+        [scf, gscf, jnp.full((1, c_max), sent_f, jnp.int32)], axis=0)
+    sccid_ext = jnp.concatenate(
+        [sccid, gsccid, jnp.full((1, c_max), -1, jnp.int32)], axis=0)
+
+    def chunk(args):
+        r0, rc, rv, sf_mask, oscf, osccid, osfe, osfa, st, cm = args
+        ch = rc.shape[0]
+        rid = r0 + jnp.arange(ch)
+        gid = me * m + rid
+
+        # Ĉ_i table: own strong-C ∪ strong-C of each strong-F neighbor
+        kscf = scf_ext[osfe]            # (ch, f_max, c_max)
+        kscc = sccid_ext[osfe]
+        chat_f = jnp.concatenate(
+            [oscf, kscf.reshape(ch, f_max * c_max)], axis=1)
+        chat_c = jnp.concatenate(
+            [osccid, kscc.reshape(ch, f_max * c_max)], axis=1)
+        chat_valid = chat_f < sent_f
+
+        # own-entry pass
+        am = rc < sent_f
+        isdiag = rc == gid[:, None]
+        match2 = ((rc[:, :, None] == chat_f[:, None, :])
+                  & chat_valid[:, None, :])
+        cid_own = jnp.max(jnp.where(match2, chat_c[:, None, :], -1), axis=2)
+        in_chat = cid_own >= 0  # valid chat members carry cid ≥ 0
+        own_num = jnp.where(am & in_chat & ~isdiag, rv, 0.0)
+        diag = jnp.sum(jnp.where(isdiag, rv, 0.0), axis=1)
+        diag = diag + jnp.sum(
+            jnp.where(am & ~isdiag & ~in_chat & ~sf_mask, rv, 0.0), axis=1)
+
+        # strong-F distribution pass
+        sfvm = osfe < EXT
+        kr_c = rowc_ext[osfe]           # (ch, f_max, W)
+        kr_v = rowv_ext[osfe]
+        kr_m = kr_c < sent_f
+        sign_ok = kr_v * osfa[..., None] > 0
+        m_is_i = kr_c == gid[:, None, None]
+        match4 = ((kr_c[..., None] == chat_f[:, None, None, :])
+                  & chat_valid[:, None, None, :])
+        cid4 = jnp.max(
+            jnp.where(match4, chat_c[:, None, None, :], -1), axis=3)
+        m_in_chat = cid4 >= 0
+        dist_m = kr_m & sign_ok & (m_in_chat | m_is_i)
+        denom = jnp.sum(jnp.where(dist_m, kr_v, 0.0), axis=2)
+        has_d = denom != 0
+        share = jnp.where(
+            dist_m & has_d[..., None],
+            osfa[..., None] * kr_v
+            / jnp.where(denom == 0, 1.0, denom)[..., None], 0.0)
+        diag = diag + jnp.sum(jnp.where(sfvm & ~has_d, osfa, 0.0), axis=1)
+        diag = diag + jnp.sum(jnp.where(m_is_i, share, 0.0), axis=(1, 2))
+
+        # candidates in global coarse-id space, dedup, w = -num/diag
+        cand_c = jnp.concatenate(
+            [jnp.where(own_num != 0, cid_own, sent_c),
+             jnp.where((share != 0) & ~m_is_i, cid4,
+                       sent_c).reshape(ch, f_max * W)], axis=1)
+        cand_c = jnp.where(cand_c < 0, sent_c, cand_c).astype(jnp.int32)
+        cand_v = jnp.concatenate(
+            [own_num,
+             jnp.where(~m_is_i, share, 0.0).reshape(ch, f_max * W)], axis=1)
+        cand_v = jnp.where(cand_c < sent_c, cand_v, 0.0)
+        cols, vals, nnz = _dedup_rows(cand_c, cand_v, sent_c)
+        safe_diag = jnp.where(diag == 0, 1.0, diag)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 1)
+        live = w_iota < nnz[:, None]
+        wts = jnp.where(live, -vals / safe_diag[:, None], 0.0)
+        pc, pv, _ = _topk_rescale(cols, wts, nnz, p_max, sent_c)
+
+        # C rows: identity onto own shard-padded coarse id
+        is_c = st == COARSE
+        k = pc.shape[1]
+        pc = jnp.where(
+            is_c[:, None],
+            jnp.concatenate(
+                [cm[:, None],
+                 jnp.full((ch, k - 1), sent_c, jnp.int32)], axis=1), pc)
+        pv = jnp.where(
+            is_c[:, None],
+            jnp.concatenate(
+                [jnp.ones((ch, 1), pv.dtype),
+                 jnp.zeros((ch, k - 1), pv.dtype)], axis=1), pv)
+        return pc, pv
+
+    pad_r = (-m) % row_chunk
+    mp = m + pad_r
+
+    def padr(t, fill):
+        if not pad_r:
+            return t
+        return jnp.pad(t, ((0, pad_r),) + ((0, 0),) * (t.ndim - 1),
+                       constant_values=fill)
+
+    n_ch = mp // row_chunk
+    r0s = jnp.arange(n_ch) * row_chunk
+
+    def resh(t):
+        return t.reshape((n_ch, row_chunk) + t.shape[1:])
+
+    pc, pv = jax.lax.map(
+        chunk,
+        (r0s, resh(padr(rowc, sent_f)), resh(padr(rowv, 0.0)),
+         resh(padr(sfm, False)), resh(padr(scf, sent_f)),
+         resh(padr(sccid, -1)), resh(padr(sfe, EXT)), resh(padr(sfa, 0.0)),
+         resh(padr(state, FINE)), resh(padr(cmap, -1))))
+    k = pc.shape[2]
+    pc = pc.reshape(mp, k)[:m]
+    pv = pv.reshape(mp, k)[:m]
+
+    gr = me * m + jnp.arange(m)
+    ok = (pc < sent_c) & (pv != 0) & (gr < n_true)[:, None]
+    rows = jnp.where(ok, gr[:, None], -1).reshape(-1)
+    cols = jnp.where(ok, pc, 0).reshape(-1)
+    vals = jnp.where(ok, pv, 0.0).reshape(-1)
+    return rows[None], cols[None], vals[None]
+
+
+def pcsr_extended_i(A: PCSR, Sd, So, state, cmap, mc_pad: int,
+                    config: AMGConfig) -> PCSR:
+    """Distributed TRUE distance-two extended+i interpolation → PCSR P.
+
+    Same algorithm as the single-device
+    ``amg.device_rs.extended_i_interpolation_device`` (entrywise
+    parity-tested); the distance-two reach is ONE extra ghost-row exchange:
+    every strong-F neighbor of a local row lies in A's halo, and the
+    exchanged tables (each halo row's full global-column row and its
+    strong-C (fine id, coarse id) table) carry everything the extended
+    stencil needs — distance-two points are only compared by id, never
+    gathered.  Two tiny host syncs (table widths)."""
     S = A.n_shards
     m = A.row_partition.rows_per_shard
     G = A.recv_map.shape[1]
     n_true = A.true_shape[0]
     n_coarse = S * mc_pad
-    # distributed tiers: "direct" or Jacobi-smoothed direct; a distributed
-    # TRUE extended_i (needs a distance-TWO ghost exchange of the strong-C
-    # tables) is not built yet — "extended_i" substitutes smoothed-direct
-    # here (the single-device path has the real algorithm: amg/device_rs.py
-    # extended_i_interpolation_device)
+    sent_f = int(A.col_partition.n_padded)
+
+    spec = P(ROW_AXIS)
+    tabs = jax.jit(jax.shard_map(
+        partial(_xi_tables_kernel, m=m, sent_f=jnp.int32(sent_f)),
+        mesh=A.mesh, in_specs=(spec,) * 10, out_specs=(spec,) * 9,
+    ))(A.diag_cols, A.diag_vals, A.off_cols, A.off_vals, Sd, So,
+       A.send_idx, A.recv_map, state, cmap)
+    rowc, rowv, sfm, scf, sccid, sfe, sfa, c_cnt, f_cnt = tabs
+    c_max = max(int(jnp.max(c_cnt)), 1)  # host sync
+    f_max = max(int(jnp.max(f_cnt)), 1)
+    scf, sccid = scf[:, :, :c_max], sccid[:, :, :c_max]
+    sfe, sfa = sfe[:, :, :f_max], sfa[:, :, :f_max]
+
+    W = rowc.shape[2]
+    K = c_max * (1 + f_max)
+    # bound the (chunk, f_max, W, K) int32 intermediates at ~64 MB/shard
+    row_chunk = max(min(4096, (1 << 24) // max(f_max * W * K, 1)), 64)
+
+    rows, cols, vals = jax.jit(jax.shard_map(
+        partial(_xi_main_kernel, m=m, n_true=n_true, sent_f=sent_f,
+                sent_c=n_coarse, p_max=config.p_max, row_chunk=row_chunk),
+        mesh=A.mesh, in_specs=(spec,) * 11, out_specs=(spec,) * 3,
+    ))(rowc, rowv, sfm, scf, sccid, sfe, sfa, state, cmap,
+       A.send_idx, A.recv_map)
+
+    return _assemble_grow(
+        rows, cols, vals, (n_true, n_coarse), A.mesh,
+        rows_per_shard=m, ell_width=config.p_max, off_width=config.p_max,
+        pad_identity=False,
+        ghost_capacity=max(4 * G * config.p_max, 256))
+
+
+def pcsr_interpolation(A: PCSR, Sd, So, state, cmap, mc_pad: int,
+                       config: AMGConfig):
+    """Classical interpolation → PCSR P, three tiers (config.interpolation):
+    "extended_i" (TRUE distance-two, the default — ``pcsr_extended_i``),
+    "smoothed_direct" (direct + one Jacobi pass), "direct".
+
+    P: rows on A's fine partition, cols on the shard-padded coarse
+    numbering (n_cols = S·mc_pad)."""
+    if config.interpolation == "extended_i":
+        return pcsr_extended_i(A, Sd, So, state, cmap, mc_pad, config)
+    S = A.n_shards
+    m = A.row_partition.rows_per_shard
+    G = A.recv_map.shape[1]
+    n_true = A.true_shape[0]
+    n_coarse = S * mc_pad
     smooth = config.interpolation != "direct"
     k0 = max(config.p_max * (2 if smooth else 1), 1)
 
@@ -655,10 +938,16 @@ def distributed_rs_setup(A: PCSR, config: AMGConfig, dtype=jnp.float32,
     c = np.asarray(cols).reshape(-1)
     v = np.asarray(vals).reshape(-1)
     n_pad = Ac.row_partition.n_padded
-    dense = np.eye(n_pad)
+    # build from zeros and scatter the triplets; the unit diagonal goes ONLY
+    # on structurally-empty rows (coarse-numbering holes) — starting from
+    # np.eye would keep a spurious 1.0 on any real row whose stored diagonal
+    # is exactly 0.0, silently changing the coarsest operator (ADVICE r3)
+    dense = np.zeros((n_pad, n_pad))
     keep = r >= 0
-    dense[r[keep], c[keep]] = 0.0
     np.add.at(dense, (r[keep], c[keep]), v[keep])
+    has_entry = np.zeros((n_pad,), bool)
+    has_entry[r[keep]] = True
+    dense[~has_entry, ~has_entry] = 1.0
     coarse_inv = jax.device_put(
         jnp.asarray(coarse_inverse_np(dense), jnp.float32),
         replicated_sharding(mesh))
