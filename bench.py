@@ -182,11 +182,16 @@ def bench_amg(nx=128):
     res = pat.amg_pcg(h.levels[0].A, h, b, tol=1e-6, maxiter=100)
     nnz = sum(int(np.asarray(l.A.nnz)) for l in h.levels)
 
-    from parallel_amg_tpu.utils.roofline import cycle_collective_volume
+    from parallel_amg_tpu.utils.roofline import (
+        cycle_latency_model,
+        scaling_projection,
+    )
     try:
-        collective_model = cycle_collective_volume(h, 8)
+        collective_model = cycle_latency_model(h, 8)
+        scaling_model = scaling_projection(h, t_cycle, [8, 32, 64])
     except Exception as e:  # noqa: BLE001
         collective_model = {"error": f"{e!s:.200}"}
+        scaling_model = None
 
     # true 1e-8 on the flagship scale (f64 Krylov over the f32 V-cycle)
     cg8 = None
@@ -220,8 +225,10 @@ def bench_amg(nx=128):
         "cg_iters_bf16_precond": int(res16.iters),
         "cg_iters_1e-8": cg8,
         # static per-shard ICI traffic model for an 8-way row-sharded run
-        # (scaling-efficiency proxy, VERDICT item 9)
+        # (scaling-efficiency proxy, VERDICT item 9) — now with latency
+        # terms and the N=8/32/64 projection (VERDICT r3 item 8)
         "collective_model_8shard": collective_model,
+        "scaling_projection": scaling_model,
     }
 
 
@@ -323,17 +330,21 @@ def bench_amg_rs(nx=1024, degraded=False):
                         n_coarse_max=256, on_device_setup=True,
                         interpolation="extended_i")
     cache = _rs_cache_path(nx)
-    setup_s = None
-    if os.path.exists(cache):
-        log(f"loading cached RS hierarchy {cache}")
-        h = load_hierarchy(cache)
-    else:
-        log(f"on-device RS setup 2D Poisson {nx}^2 ...")
-        t0 = time.perf_counter()
-        h = pat.setup(coo.to_csr(), cfg)
-        jax.block_until_ready(h.coarse_inv)
-        setup_s = time.perf_counter() - t0
-        save_hierarchy(cache, h)
+    # The fresh on-device setup is MEASURED every run (VERDICT r3 items
+    # 1b/4): the fused per-level driver (amg/device_rs.py
+    # device_rs_setup_fused) replaces the per-op tunnel dispatch that made
+    # this unmeasurable — 65 s warm-compile-cache / ~315 s cold at 1024² on
+    # the tunnel TPU.  The pickle cache remains only as input to the
+    # solve-format conversion below.
+    log(f"on-device RS setup 2D Poisson {nx}^2 (fused driver) ...")
+    t0 = time.perf_counter()
+    h = pat.setup(coo.to_csr(), cfg)
+    # the setup ends by pulling the coarse operator to host for the dense
+    # pseudo-inverse, so the pipeline is synchronized at return
+    jax.block_until_ready(h.coarse_inv)
+    setup_s = time.perf_counter() - t0
+    log(f"  fresh setup_s={setup_s:.1f}")
+    save_hierarchy(cache, h)
     n = h.levels[0].A.n_rows
     log(f"  setup {setup_s}s levels {[l.A.n_rows for l in h.levels]}")
     # solve-path formats: the algebraic setup computes in padded ELL
@@ -344,12 +355,16 @@ def bench_amg_rs(nx=1024, degraded=False):
     from parallel_amg_tpu.amg.hierarchy import with_best_formats
 
     cache_fast = cache.replace(".pkl", "_fast.pkl")
+    conversion_s = None
     if os.path.exists(cache_fast):
+        # deterministic setup (fixed PRNG seed, static program chain) ⇒ the
+        # converted hierarchy from a previous run matches this run's h
         h_fast = load_hierarchy(cache_fast)
     else:
         t0 = time.perf_counter()
         h_fast = with_best_formats(h, "tpu")
-        log(f"  solve-format conversion {time.perf_counter() - t0:.1f}s")
+        conversion_s = time.perf_counter() - t0
+        log(f"  solve-format conversion {conversion_s:.1f}s")
         save_hierarchy(cache_fast, h_fast)
     b64 = np.random.default_rng(0).normal(size=n)
     b = jnp.asarray(b64, jnp.float32)
@@ -361,6 +376,7 @@ def bench_amg_rs(nx=1024, degraded=False):
         "nx": nx,
         "degraded": degraded,
         "setup_s": setup_s,
+        "conversion_s": conversion_s,
         "vcycle_s": t_cycle,
         "cg_iters_1e-6": int(res.iters),
         "converged": bool(res.converged),
@@ -640,13 +656,10 @@ def main():
 
     stage("amg_sa3d", 120, 900)
 
-    # RS scale selection: full 1024^2 when its hierarchy is cached or the
-    # budget comfortably covers a fresh setup; otherwise degrade — a number
-    # at reduced scale beats a timeout.
-    nx = 1024
-    if not os.path.exists(_rs_cache_path(1024)) and _remaining() < 700:
-        nx = 512 if (os.path.exists(_rs_cache_path(512))
-                     or _remaining() > 300) else 256
+    # RS scale selection: the fused setup is measured fresh every run
+    # (65 s warm / ~315 s cold XLA cache at 1024²); degrade only when the
+    # remaining budget cannot cover a cold run + solves.
+    nx = 1024 if _remaining() > 500 else (512 if _remaining() > 250 else 256)
     stage("amg_rs2d", 60, 900, nx=nx)
 
     stage("bsr", 120, 900)

@@ -30,7 +30,12 @@ import numpy as np
 from parallel_amg_tpu.amg.hierarchy import Hierarchy, Level
 from parallel_amg_tpu.config import AMGConfig
 from parallel_amg_tpu.ops.ell import ELL
-from parallel_amg_tpu.ops.ell_setup import ell_prune, ell_spgemm, ell_transpose
+from parallel_amg_tpu.ops.ell_setup import (
+    ell_prune,
+    ell_spgemm,
+    ell_spgemm_pairwise,
+    ell_transpose,
+)
 
 UNDECIDED, FINE, COARSE = 0, 1, 2
 
@@ -45,7 +50,15 @@ def classical_strength_mask(A: ELL, theta: float):
 
 
 def pmis_split_device(A: ELL, S, seed: int = 0, max_rounds: int = 64):
-    """PMIS C/F splitting on device. Returns (n,) int32 of FINE/COARSE."""
+    """PMIS C/F splitting on device. Returns (n,) int32 of FINE/COARSE.
+
+    The symmetrized local-max test needs, for each i, the max weight over
+    undecided j with S[j, i] (the Sᵀ row).  Rather than materializing the
+    transpose (a sort+scatter with a data-dependent output width — a host
+    sync that would block fusing the whole splitting into one jitted
+    program), that max is computed directly with a ``segment_max`` scatter
+    over S's entries: exact same set, exact max, jit-safe static shapes.
+    """
     n = A.n_rows
     cols = A.cols
     # influence counts |S^T_i| via scatter-sum over columns
@@ -54,12 +67,6 @@ def pmis_split_device(A: ELL, S, seed: int = 0, max_rounds: int = 64):
     )
     key = jax.random.PRNGKey(seed)
     w = influence + jax.random.uniform(key, (n,))
-
-    # transpose pattern of S for the symmetrized local-max test
-    S_ell = ELL(cols, S.astype(jnp.float32), A.row_nnz, (n, n))
-    # restrict row_nnz to actual strong entries? keep mask via vals!=0
-    St = ell_transpose(S_ell)
-    St_mask = St.mask() & (St.vals != 0)
 
     # isolated points (no strong connections either way) → COARSE
     has_out = jnp.any(S, axis=1)
@@ -75,10 +82,12 @@ def pmis_split_device(A: ELL, S, seed: int = 0, max_rounds: int = 64):
         w_j = jnp.take(w, cols, axis=0)
         und_j = jnp.take(und, cols, axis=0)
         m1 = jnp.max(jnp.where(S & und_j, w_j, -1.0), axis=1)
-        # ... and over S^T rows
-        wt_j = jnp.take(w, St.cols, axis=0)
-        undt_j = jnp.take(und, St.cols, axis=0)
-        m2 = jnp.max(jnp.where(St_mask & undt_j, wt_j, -1.0), axis=1)
+        # ... and over S^T rows: scatter w[j] into each strong column of an
+        # undecided row j, segment_max by column id
+        contrib = jnp.where(S & und[:, None], w[:, None], -1.0)
+        m2 = jax.ops.segment_max(
+            contrib.reshape(-1), cols.reshape(-1), num_segments=n)
+        m2 = jnp.maximum(m2, -1.0)  # segment_max default is -inf
         is_max = und & (w > jnp.maximum(m1, m2))
         state = jnp.where(is_max, COARSE, state)
         # undecided points that strongly depend on a COARSE point → FINE
@@ -171,7 +180,8 @@ def _compact_masked(cols, vals, mask, w_max: int | None = None):
 
 
 def extended_i_interpolation_device(A: ELL, S, state, p_max: int,
-                                    row_chunk: int | None = None) -> ELL:
+                                    row_chunk: int | None = None,
+                                    static_widths=None) -> ELL:
     """TRUE distance-two extended+i interpolation on device.
 
     Exact vectorization of ``oracle.extended_i_interpolation`` (the
@@ -186,6 +196,11 @@ def extended_i_interpolation_device(A: ELL, S, state, p_max: int,
     ((chunk, f_max, W, K) bool with K = c_max·(1+f_max)); rows are
     processed in ``lax.map`` chunks sized to bound that intermediate.
     Parity-tested entrywise against the oracle (tests/test_extended_i.py).
+
+    ``static_widths=(c_max, f_max, nc)`` supplies the data-dependent table
+    widths and coarse count as host ints so the whole function traces
+    inside one jitted program (the fused setup path); ``None`` reads them
+    back eagerly (three small host syncs).
     """
     n = A.n_rows
     W = A.cols.shape[1]
@@ -193,14 +208,19 @@ def extended_i_interpolation_device(A: ELL, S, state, p_max: int,
     strong_c = S & (st_j == COARSE)
     strong_f = S & (st_j != COARSE)
 
-    CC, _, CCm = _compact_masked(A.cols, A.vals, strong_c)
-    FF, FFa, FFm = _compact_masked(A.cols, A.vals, strong_f)
+    if static_widths is not None:
+        c_w, f_w, nc = (max(int(v), 1) for v in static_widths)
+    else:
+        c_w = f_w = None
+    CC, _, CCm = _compact_masked(A.cols, A.vals, strong_c, c_w)
+    FF, FFa, FFm = _compact_masked(A.cols, A.vals, strong_f, f_w)
     c_max = CC.shape[1]
     f_max = FF.shape[1]
     K = c_max * (1 + f_max)
 
     cmap = jnp.cumsum((state == COARSE).astype(jnp.int32)) - 1
-    nc = int(cmap[-1]) + 1  # host sync
+    if static_widths is None:
+        nc = int(cmap[-1]) + 1  # host sync
 
     if row_chunk is None:
         # bound the (chunk, f_max, W, K) bool at ~64 MB
@@ -415,8 +435,18 @@ def _ell_topk(P: ELL, p_max: int) -> ELL:
 
 
 def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
-                    seed: int = 0) -> Hierarchy:
-    """On-device classical-AMG setup from a device ELL (or host CSR)."""
+                    seed: int = 0, fused: bool | str = "auto") -> Hierarchy:
+    """On-device classical-AMG setup from a device ELL (or host CSR).
+
+    ``fused="auto"`` routes the extended+i path through the fused per-level
+    driver (:func:`device_rs_setup_fused`) on TPU: ~3 jitted programs per
+    level instead of thousands of eager op dispatches — the difference
+    between an unmeasurable (>580 s at 256²) and a ~20 s warm fresh setup
+    when the device sits behind a ~27 ms-RTT dispatch tunnel (VERDICT r3
+    item 4).  On CPU the eager path stays the default: dispatch is cheap
+    there and the fused programs' XLA:CPU compiles dominate (128 s at 64²
+    vs seconds eager).  ``fused=True/False`` forces either driver.
+    """
     from parallel_amg_tpu.ops.csr import CSR
 
     if isinstance(A, ELL):
@@ -426,6 +456,13 @@ def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
             A.to_csr().to_scipy() if hasattr(A, "to_csr") else A
         )
         A_ell = ELL.from_csr(csr, dtype=dtype)
+    if fused == "auto":
+        fused = (config.interpolation == "extended_i"
+                 and jax.default_backend() == "tpu")
+    if fused:
+        if config.interpolation != "extended_i":
+            raise ValueError("fused RS setup implements extended_i only")
+        return device_rs_setup_fused(A_ell, config, seed=seed)
 
     import os as _os
     import sys as _sys
@@ -477,6 +514,152 @@ def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
         _log(f"  Ac done (W={A_c.cols.shape[1]})")
         levels.append(Level(A_ell, P, R, d_inv, lam))
         A_ell = A_c
+    from parallel_amg_tpu.amg.hierarchy import coarse_inverse_np
+
+    coarse_inv = jnp.asarray(
+        coarse_inverse_np(np.asarray(
+            levels[-1].A.to_csr().to_dense(), np.float64)),
+        jnp.float32,
+    )
+    return Hierarchy(levels, coarse_inv, config)
+
+
+def _pairwise_chunk(K: int, budget_bytes: int = 1 << 28) -> int:
+    """Row-chunk size bounding the (chunk, K, K) dedup intermediates."""
+    return max(min(4096, budget_bytes // max(K * K * 5, 1)), 16)
+
+
+def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,
+                          seed: int = 0) -> Hierarchy:
+    """Fused on-device RS setup: O(1) jitted programs per level.
+
+    The eager driver dispatches thousands of individual XLA ops per level;
+    behind the remote-TPU tunnel each dispatch pays ~27 ms RTT, so a fresh
+    1024² setup measured 255 s against ~1.5 s of arithmetic (docs/SPGEMM.md).
+    This driver traces each level into three programs, separated only by
+    the host readbacks that static shapes genuinely require:
+
+      P1  strength → PMIS → (d⁻¹, λ_max) + counts   → read (nc, c_max, f_max)
+      P2  extended+i P (static tables) + A·P at full
+          candidate width + transpose/AP widths      → read (ap_w, t_w)
+      P3  R = Pᵀ (static t_w) + Galerkin R·(AP) at
+          full width + zero-prune + final width      → read w_c
+
+    The Galerkin product associates as R·(A·P) (the eager path computes
+    (R·A)·P) — same operator up to f32 reorder; both use the sort-free
+    pairwise ESC at the full candidate width, which cannot overflow, so the
+    no-silent-caps contract holds without eager strict checks.
+    """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    verbose = _os.environ.get("PAT_SETUP_VERBOSE") == "1"
+    _t0 = _time.perf_counter()
+
+    def _log(msg):
+        if verbose:
+            print(f"[rs-fused +{_time.perf_counter() - _t0:.1f}s] {msg}",
+                  file=_sys.stderr, flush=True)
+
+    levels: List[Level] = []
+    want_cheb = config.smoother == "chebyshev"
+
+    for lvl in range(config.max_levels):
+        n = A_ell.n_rows
+        W = A_ell.cols.shape[1]
+        dt = A_ell.vals.dtype
+        is_last = n <= config.n_coarse_max or lvl == config.max_levels - 1
+        _log(f"level {lvl}: n={n} W={W} last={is_last}")
+
+        if is_last:
+            @jax.jit
+            def p_last(cols, vals, row_nnz, n=n):
+                A = ELL(cols, vals, row_nnz, (n, n))
+                diag = A.diagonal()
+                d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+                lam = (_ell_lambda_max(A, d_inv, config.lambda_power_iters,
+                                       seed) if want_cheb
+                       else jnp.asarray(0.0, dt))
+                return d_inv, lam
+
+            d_inv, lam = p_last(A_ell.cols, A_ell.vals, A_ell.row_nnz)
+            levels.append(Level(A_ell, None, None, d_inv, lam))
+            break
+
+        @jax.jit
+        def p1(cols, vals, row_nnz, n=n, lvl=lvl):
+            A = ELL(cols, vals, row_nnz, (n, n))
+            diag = A.diagonal()
+            d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+            lam = (_ell_lambda_max(A, d_inv, config.lambda_power_iters, seed)
+                   if want_cheb else jnp.asarray(0.0, dt))
+            S = classical_strength_mask(A, config.theta)
+            state = pmis_split_device(A, S, seed=seed + lvl)
+            st_j = jnp.take(state, cols, axis=0)
+            strong_c = S & (st_j == COARSE)
+            strong_f = S & (st_j != COARSE)
+            counts = jnp.stack([
+                jnp.sum((state == COARSE).astype(jnp.int32)),
+                jnp.max(jnp.sum(strong_c.astype(jnp.int32), axis=1)),
+                jnp.max(jnp.sum(strong_f.astype(jnp.int32), axis=1)),
+            ])
+            return d_inv, lam, S, state, counts
+
+        d_inv, lam, S, state, counts = p1(A_ell.cols, A_ell.vals,
+                                          A_ell.row_nnz)
+        nc, c_max, f_max = (int(v) for v in np.asarray(counts))
+        _log(f"  p1 done (nc={nc} c_max={c_max} f_max={f_max})")
+        if nc >= n or nc == 0:
+            levels.append(Level(A_ell, None, None, d_inv, lam))
+            break
+
+        @jax.jit
+        def p2(cols, vals, row_nnz, S, state, n=n, nc=nc, c_max=c_max,
+               f_max=f_max, W=W):
+            A = ELL(cols, vals, row_nnz, (n, n))
+            P = extended_i_interpolation_device(
+                A, S, state, config.p_max,
+                static_widths=(c_max, f_max, nc))
+            Kap = W * P.cols.shape[1]
+            AP = ell_spgemm_pairwise(A, P, out_width=Kap,
+                                     row_chunk=_pairwise_chunk(Kap),
+                                     strict=False)
+            pm = P.mask()
+            t_counts = jax.ops.segment_sum(
+                pm.astype(jnp.int32).reshape(-1),
+                jnp.where(pm, P.cols, nc).reshape(-1),
+                num_segments=nc + 1)[:nc]
+            widths = jnp.stack([jnp.max(AP.row_nnz),
+                                jnp.maximum(jnp.max(t_counts), 1)])
+            return P, AP, widths
+
+        P, AP, w2 = p2(A_ell.cols, A_ell.vals, A_ell.row_nnz, S, state)
+        ap_w, t_w = (int(v) for v in np.asarray(w2))
+        _log(f"  p2 done (ap_w={ap_w} t_w={t_w})")
+        AP = ELL(AP.cols[:, :ap_w], AP.vals[:, :ap_w], AP.row_nnz, AP.shape)
+
+        K3 = t_w * ap_w
+
+        @jax.jit
+        def p3(Pc, Pv, Pn, APc, APv, APn, n=n, nc=nc, t_w=t_w, K3=K3):
+            Pe = ELL(Pc, Pv, Pn, (n, nc))
+            APe = ELL(APc, APv, APn, (n, nc))
+            R = ell_transpose(Pe, out_width=t_w)
+            Ac = ell_spgemm_pairwise(R, APe, out_width=K3,
+                                     row_chunk=_pairwise_chunk(K3),
+                                     strict=False)
+            Ac = ell_prune(Ac, tol=0.0, out_width=K3)
+            return R, Ac, jnp.maximum(jnp.max(Ac.row_nnz), 1)
+
+        R, Ac, w_c = p3(P.cols, P.vals, P.row_nnz,
+                        AP.cols, AP.vals, AP.row_nnz)
+        w_c = int(w_c)
+        _log(f"  p3 done (w_c={w_c})")
+        levels.append(Level(A_ell, P, R, d_inv, lam))
+        A_ell = ELL(Ac.cols[:, :w_c], Ac.vals[:, :w_c], Ac.row_nnz,
+                    (nc, nc))
+
     from parallel_amg_tpu.amg.hierarchy import coarse_inverse_np
 
     coarse_inv = jnp.asarray(

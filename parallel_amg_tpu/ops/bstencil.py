@@ -185,7 +185,12 @@ def bsr_from_kron_stencil(L: Stencil, C, dtype=jnp.float32):
         coords = [jax.lax.broadcasted_iota(jnp.int32, dims, i)
                   for i in range(nd)]
         bcols = []
-        vals = []
+        # the value planes are n·D·bs²·4 B (8.6 GB at 324³×7×3²) — a
+        # stack-of-pieces formulation doubles that transiently and OOMs a
+        # 16 GB chip next to a live hierarchy; incremental
+        # dynamic_update_slice writes let XLA build the output in place
+        # (peak ≈ output + one 1/D-slab)
+        vals = jnp.zeros((n, D, bs, bs), dtype)
         for d, off in enumerate(L.offsets):
             nbr = [coords[i] + off[i] for i in range(nd)]
             ok = jnp.ones(dims, bool)
@@ -197,9 +202,10 @@ def bsr_from_kron_stencil(L: Stencil, C, dtype=jnp.float32):
                 stride *= dims[i]
             w = jnp.where(ok, W[d], 0.0).reshape(n)
             bcols.append(jnp.where(ok, flat, 0).reshape(n))
-            vals.append(w[:, None, None] * C[None])
-        return (jnp.stack(bcols, axis=1),
-                jnp.stack(vals, axis=1).astype(dtype))
+            piece = (w[:, None, None] * C[None]).astype(dtype)
+            vals = jax.lax.dynamic_update_slice(
+                vals, piece[:, None], (0, d, 0, 0))
+        return jnp.stack(bcols, axis=1), vals
 
     bcols, vals = jax.jit(build)(L.weights)
     brow_nnz = jnp.full((n,), D, jnp.int32)

@@ -8,5 +8,6 @@ the multi-host ≥100M-DOF config).
 
 from parallel_amg_tpu.problems.poisson import poisson2d, poisson3d
 from parallel_amg_tpu.problems.anisotropic import anisotropic2d
+from parallel_amg_tpu.problems.convection import convection2d
 
-__all__ = ["poisson2d", "poisson3d", "anisotropic2d"]
+__all__ = ["poisson2d", "poisson3d", "anisotropic2d", "convection2d"]

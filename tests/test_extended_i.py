@@ -99,3 +99,33 @@ def test_extended_i_full_hierarchy_converges():
     oh = oracle_setup(A_sp, cfg)
     _, oit, _ = oracle_pcg(A_sp, b, oh, tol=1e-6, maxiter=60)
     assert int(res.iters) <= int(oit) + 2
+
+
+def test_fused_setup_matches_eager():
+    """The fused per-level RS driver (device_rs_setup_fused — the TPU
+    dispatch-optimized path) builds the same hierarchy as the eager driver:
+    identical level sizes, P entrywise equal, coarse operators equal up to
+    f32 product-reassociation (fused computes R·(A·P), eager (R·A)·P), and
+    identical PCG iteration counts."""
+    from parallel_amg_tpu.amg.device_rs import device_rs_setup
+
+    coo = poisson2d(32)
+    cfg = AMGConfig(coarsening="rs", smoother="chebyshev",
+                    interpolation="extended_i", n_coarse_max=64,
+                    on_device_setup=True)
+    csr = coo.to_csr()
+    h_f = device_rs_setup(csr, cfg, fused=True)
+    h_e = device_rs_setup(csr, cfg, fused=False)
+    assert [l.A.n_rows for l in h_f.levels] == [l.A.n_rows for l in h_e.levels]
+    for lf, le in zip(h_f.levels, h_e.levels):
+        dA = abs(lf.A.to_csr().to_scipy() - le.A.to_csr().to_scipy())
+        assert (dA.max() if dA.nnz else 0.0) < 1e-5
+        if lf.P is not None and le.P is not None:
+            dP = abs(lf.P.to_csr().to_scipy() - le.P.to_csr().to_scipy())
+            assert (dP.max() if dP.nnz else 0.0) < 1e-6
+    b = jnp.asarray(
+        np.random.default_rng(0).normal(size=coo.shape[0]), jnp.float32)
+    rf = pat.amg_pcg(None, h_f, b, tol=1e-6, maxiter=60)
+    re = pat.amg_pcg(None, h_e, b, tol=1e-6, maxiter=60)
+    assert bool(rf.converged) and bool(re.converged)
+    assert int(rf.iters) == int(re.iters)

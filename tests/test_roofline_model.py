@@ -70,3 +70,62 @@ def test_axis0_reach_flat_offsets():
         nd_offsets = None
 
     assert _axis0_reach(Fake2()) == 2
+
+
+def test_latency_model_terms(h_sa3d):
+    """cycle_latency_model: bytes axis matches cycle_collective_volume;
+    latency terms scale with message counts and stated constants."""
+    from parallel_amg_tpu.utils.roofline import (
+        cycle_latency_model,
+        scaling_projection,
+    )
+
+    m = cycle_latency_model(h_sa3d, 8)
+    base = cycle_collective_volume(h_sa3d, 8)
+    assert m["per_shard_cycle_bytes"] == base["per_shard_cycle_bytes"]
+    assert m["halo_messages_per_cycle"] == sum(
+        lv["matvecs_per_cycle"] for lv in base["levels"]
+        if not lv["replicated"])
+    c = m["constants"]
+    assert m["t_halo_latency_s"] == (
+        m["halo_messages_per_cycle"] * c["collective_latency_s"])
+    assert m["t_halo_bw_s"] > 0 and m["t_boundary_allgather_s"] > 0
+    rows = scaling_projection(h_sa3d, 1e-3, [8, 32])
+    assert [r["n_shards"] for r in rows] == [8, 32]
+    for r in rows:
+        assert 0 < r["projected_efficiency"] <= 1
+    # strong-scaling: compute shrinks with N, comm latency does not
+    assert rows[1]["t_compute_s"] < rows[0]["t_compute_s"]
+
+
+def test_halo_bytes_match_hlo():
+    """The model's halo-bytes-per-matvec axis equals the actual
+    collective-permute traffic XLA emits for a sharded stencil matvec on
+    the 8-device mesh (VERDICT r3 item 8 'validate the bytes axis against
+    HLO')."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from parallel_amg_tpu.parallel import make_row_mesh
+    from parallel_amg_tpu.parallel.mesh import row_sharding
+    from parallel_amg_tpu.parallel.pstencil import ShardedStencil
+    from parallel_amg_tpu.utils.roofline import _axis0_reach
+
+    assert jax.device_count() >= 8
+    mesh = make_row_mesh(8)
+    st = poisson_stencil((32, 16, 16))
+    A = ShardedStencil.from_stencil(st, mesh)
+    x = jax.device_put(jnp.ones((32, 16, 16), jnp.float32),
+                       row_sharding(mesh))
+    hlo = jax.jit(A.matvec).lower(x).compile().as_text()
+    moved = 0
+    for m_ in re.finditer(
+            r"= f32\[([0-9,]+)\][^\n]*collective-permute\(", hlo):
+        dims = [int(d) for d in m_.group(1).split(",")]
+        moved += int(np.prod(dims)) * 4
+    h = _axis0_reach(st)
+    plane = 16 * 16
+    model = 2 * h * plane * 4
+    assert moved == model, (moved, model)
