@@ -107,20 +107,50 @@ class BSR:
         return COO(rs[keep], cs[keep], vs[keep], self.shape).to_csr()
 
     # -- device ops -------------------------------------------------------
-    def matvec(self, x):
+    def matvec(self, x, row_chunk: int | None = None):
         """y = A @ x — batched bs×bs block matmuls, one width slot at a
         time.
 
         Padding slots hold zero blocks by construction (both builders
         zero-fill), so no mask multiply is needed; the per-slot loop keeps
-        the gather temporary at (RB, bs) instead of (RB, WB, bs) — the
-        difference between fitting and OOM at the ≥100M-DOF BSR probe.
+        the gather temporary at (RB, bs) instead of (RB, WB, bs).
+
+        Above ~8M block rows XLA's scheduler keeps several slots' gather
+        temporaries live at once (measured 14.8 GB of HLO temps at 324³×7,
+        an OOM next to the 8.6 GB resident operator), so large operators
+        process rows in ``lax.map`` chunks — sequential by construction,
+        peak ≈ one chunk's gathers + the output.
         """
         bs = self.bs
         MB = -(-self.shape[1] // bs)
         xp = jnp.pad(x, (0, MB * bs - x.shape[0])) if x.shape[0] != MB * bs else x
         xb = xp.reshape(MB, bs)
-        y = jnp.zeros((self.n_block_rows, bs), xp.dtype)
+        RB = self.n_block_rows
+        if row_chunk is None and RB > (1 << 23):
+            row_chunk = 1 << 21
+        if row_chunk and RB > row_chunk:
+            # clamped dynamic slices: padding bcols/vals to a chunk
+            # multiple would COPY the multi-GB value planes inside the
+            # program (measured 17.6 GB > HBM at 324³); the final chunk
+            # instead overlaps the previous one and rewrites identical rows
+            n_ch = -(-RB // row_chunk)
+
+            def body(i, y):
+                i0 = jnp.minimum(i * row_chunk, RB - row_chunk)
+                bcc = jax.lax.dynamic_slice_in_dim(self.bcols, i0,
+                                                   row_chunk, 0)
+                vlc = jax.lax.dynamic_slice_in_dim(self.vals, i0,
+                                                   row_chunk, 0)
+                yc = jnp.zeros((row_chunk, bs), xp.dtype)
+                for w in range(self.width):
+                    g = jnp.take(xb, bcc[:, w], axis=0)
+                    yc = yc + jnp.einsum("rij,rj->ri", vlc[:, w], g)
+                return jax.lax.dynamic_update_slice_in_dim(y, yc, i0, 0)
+
+            y = jax.lax.fori_loop(0, n_ch, body,
+                                  jnp.zeros((RB, bs), xp.dtype))
+            return y.reshape(-1)[: self.shape[0]]
+        y = jnp.zeros((RB, bs), xp.dtype)
         for w in range(self.width):
             g = jnp.take(xb, self.bcols[:, w], axis=0)  # (RB, bs)
             y = y + jnp.einsum("rij,rj->ri", self.vals[:, w], g)

@@ -185,12 +185,7 @@ def bsr_from_kron_stencil(L: Stencil, C, dtype=jnp.float32):
         coords = [jax.lax.broadcasted_iota(jnp.int32, dims, i)
                   for i in range(nd)]
         bcols = []
-        # the value planes are n·D·bs²·4 B (8.6 GB at 324³×7×3²) — a
-        # stack-of-pieces formulation doubles that transiently and OOMs a
-        # 16 GB chip next to a live hierarchy; incremental
-        # dynamic_update_slice writes let XLA build the output in place
-        # (peak ≈ output + one 1/D-slab)
-        vals = jnp.zeros((n, D, bs, bs), dtype)
+        ws = []
         for d, off in enumerate(L.offsets):
             nbr = [coords[i] + off[i] for i in range(nd)]
             ok = jnp.ones(dims, bool)
@@ -200,11 +195,14 @@ def bsr_from_kron_stencil(L: Stencil, C, dtype=jnp.float32):
                 ok = ok & (nbr[i] >= 0) & (nbr[i] < dims[i])
                 flat = flat + nbr[i].astype(jnp.int32) * stride
                 stride *= dims[i]
-            w = jnp.where(ok, W[d], 0.0).reshape(n)
+            ws.append(jnp.where(ok, W[d], 0.0).reshape(n))
             bcols.append(jnp.where(ok, flat, 0).reshape(n))
-            piece = (w[:, None, None] * C[None]).astype(dtype)
-            vals = jax.lax.dynamic_update_slice(
-                vals, piece[:, None], (0, d, 0, 0))
+        # the value planes are n·D·bs²·4 B (8.6 GB at 324³×7×3²): emit them
+        # as ONE broadcast product of the (n, D) masked-weight table with C
+        # — a stacked list-of-(n, bs, bs) pieces doubled that transiently
+        # and OOMed a 16 GB chip next to a live hierarchy
+        w_all = jnp.stack(ws, axis=1)  # (n, D), 28× smaller than vals
+        vals = (w_all[:, :, None, None] * C[None, None]).astype(dtype)
         return jnp.stack(bcols, axis=1), vals
 
     bcols, vals = jax.jit(build)(L.weights)

@@ -152,9 +152,9 @@ def _dedup_call(cand_cols, cand_vals, sent: int, row_tile: int | None = None):
     Rp, K = cand_cols.shape
     if row_tile is None:
         # Mosaic's scoped-vmem stack for the unrolled loop grows ~
-        # row_tile·K²·4 B (measured: 26.5 MB at (256, 160)); stay under
-        # ~12 MB of the 16 MB limit
-        row_tile = max(min(256, (2_000_000 // max(K * K, 1)) // 8 * 8), 8)
+        # row_tile·K²·4 B (measured: 26.5 MB at (256, 160); 16.05 MB at
+        # (112, 130) — 52 KB past the 16 MB limit); budget ~10 MB
+        row_tile = max(min(256, (1_500_000 // max(K * K, 1)) // 8 * 8), 8)
     pad = (-Rp) % row_tile
     if pad:
         cand_cols = jnp.pad(cand_cols, ((0, pad), (0, 0)),
