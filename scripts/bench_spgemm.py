@@ -91,9 +91,16 @@ def main():
 
     # parity (loud) — host pulls of 1M-row ELLs take minutes through the
     # tunnel, so full entrywise parity runs at probe scales only; at the
-    # flagship scale a cheap on-device checksum comparison stands in
-    C_g = gather_spgemm(A, P, out_width=w_ap, plan=planA)
-    if nx <= 256:
+    # flagship scale a cheap on-device checksum comparison stands in.
+    # COMPILE-ORDER CONSTRAINT: any fresh XLA compile issued after the
+    # first pallas_call of the session reproducibly wedges the tunnel
+    # (four hangs at the same site, fresh processes included), so the rap
+    # phase defers ALL gather/pallas work until its pure-XLA compiles
+    # (transpose, pairwise reference + timing) are done.
+    if phase == "rap":
+        pass
+    elif (C_g := gather_spgemm(A, P, out_width=w_ap, plan=planA)) and \
+            nx <= 256:
         d = abs(AP_ref.to_csr().to_scipy() - C_g.to_csr().to_scipy())
         assert (d.max() if d.nnz else 0.0) < 1e-4, "A·P parity FAILED"
         print("A·P parity ok", flush=True)
@@ -150,11 +157,18 @@ def main():
     t_w = max(int(np.bincount(Pc_h[Pm_h], minlength=P.shape[1]).max()), 1)
     print(f"t_w={t_w} (host)", flush=True)
 
-    @jax.jit
-    def transp(Pc, Pv, Pn):
-        return ell_transpose(ELL(Pc, Pv, Pn, P.shape), out_width=t_w)
-
-    R = transp(P.cols, P.vals, P.row_nnz)
+    # host transpose from the already-pulled P (the jitted ell_transpose
+    # compile is the one program the tunnel reproducibly wedges on at the
+    # 1M×4 shape; the host build is seconds and numerically identical)
+    Pv_h = np.asarray(P.vals)
+    rT = Pc_h[Pm_h]
+    cT = np.broadcast_to(np.arange(Pc_h.shape[0])[:, None],
+                         Pc_h.shape)[Pm_h]
+    vT = Pv_h[Pm_h]
+    import scipy.sparse as _sp
+    R_sp = _sp.csr_matrix((vT, (rT, cT)), shape=(P.shape[1], P.shape[0]))
+    from parallel_amg_tpu.ops.csr import CSR as _CSR
+    R = ELL.from_csr(_CSR.from_scipy(R_sp), dtype=jnp.float32)
     Kc = R.cols.shape[1] * w_ap
     print(f"R ready (W={R.cols.shape[1]}, Kc={Kc}); pairwise ref ...",
           flush=True)
@@ -170,6 +184,14 @@ def main():
     print(f"pairwise ref done (w_c={w_c})", flush=True)
     out["Wr"] = R.cols.shape[1]
     out["w_c"] = w_c
+
+    # pairwise TIMING first (its wrapper is the last pure-XLA compile),
+    # then every pallas-flavored step
+    out["rap_pairwise_s"] = fetch_time(
+        "R·AP pairwise ESC",
+        lambda x, a, b: ell_spgemm_pairwise(
+            ELL(a.cols, a.vals * (1 + x * 1e-9), a.row_nnz, a.shape), b,
+            out_width=w_c, strict=False).vals[0, 0], jnp.float32(0), R, AP)
 
     t0 = time.perf_counter()
     planR = GatherSpgemmPlan.from_ell(R)
@@ -188,11 +210,6 @@ def main():
             "R·AP checksum mismatch", s_ref, s_got, n_ref, n_got)
         print(f"R·AP checksum ok (nnz {n_got})", flush=True)
 
-    out["rap_pairwise_s"] = fetch_time(
-        "R·AP pairwise ESC",
-        lambda x, a, b: ell_spgemm_pairwise(
-            ELL(a.cols, a.vals * (1 + x * 1e-9), a.row_nnz, a.shape), b,
-            out_width=w_c, strict=False).vals[0, 0], jnp.float32(0), R, AP)
     out["rap_gather_s"] = fetch_time(
         "R·AP Pallas gather",
         lambda x, pl_, b: gather_spgemm(
