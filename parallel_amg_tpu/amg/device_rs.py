@@ -21,6 +21,7 @@ setup/solve split as the structured path.
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import jax
@@ -529,6 +530,24 @@ def _pairwise_chunk(K: int, budget_bytes: int = 1 << 28) -> int:
     return max(min(4096, budget_bytes // max(K * K * 5, 1)), 16)
 
 
+# gather_spgemm pays ~8 extra tunnel dispatches + plan programs per level;
+# its 8.7×/5.2× product speedups (docs/SPGEMM.md) amortize that only on
+# large operands.  262144 rows ≈ the 512² operand where the measured win is
+# already ~5× (20 ms saved ≫ dispatch cost on any local deployment and ≈
+# break-even through the 27 ms tunnel).
+_GATHER_MIN_ROWS = 262144
+
+
+def _spgemm_engine(n_rows: int) -> bool:
+    """True → rank-plane Pallas gather engine for this level's products."""
+    mode = os.environ.get("PAT_RS_SPGEMM", "auto")
+    if mode == "gather":
+        return True
+    if mode == "pairwise":
+        return False
+    return n_rows >= _GATHER_MIN_ROWS
+
+
 def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,
                           seed: int = 0) -> Hierarchy:
     """Fused on-device RS setup: O(1) jitted programs per level.
@@ -546,9 +565,20 @@ def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,
           full width + zero-prune + final width      → read w_c
 
     The Galerkin product associates as R·(A·P) (the eager path computes
-    (R·A)·P) — same operator up to f32 reorder; both use the sort-free
-    pairwise ESC at the full candidate width, which cannot overflow, so the
-    no-silent-caps contract holds without eager strict checks.
+    (R·A)·P) — same operator up to f32 reorder; products run at the full
+    candidate width, which cannot overflow, so the no-silent-caps contract
+    holds without eager strict checks.
+
+    SpGEMM engine dispatch (round-4 verdict item 6 — the measured-winning
+    Pallas kernel must be reachable from production): levels with
+    n ≥ ``_GATHER_MIN_ROWS`` route both Galerkin products through the
+    rank-plane Pallas ``gather_spgemm`` (ops/gspgemm.py — 8.7×/5.2× over
+    the pairwise ESC at the real 1024² A·P / R·(AP) operands,
+    docs/SPGEMM.md), with its plan built ON DEVICE
+    (``GatherSpgemmPlan.from_ell_device``) so no operand crosses the
+    tunnel.  Smaller levels keep the single-program pairwise path — the
+    gather pipeline costs ~8 extra dispatches/level, which only pays above
+    the crossover.  Override with ``PAT_RS_SPGEMM=pairwise|gather|auto``.
     """
     import os as _os
     import sys as _sys
@@ -614,48 +644,87 @@ def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,
             levels.append(Level(A_ell, None, None, d_inv, lam))
             break
 
+        use_gather = _spgemm_engine(n)
+
         @jax.jit
         def p2(cols, vals, row_nnz, S, state, n=n, nc=nc, c_max=c_max,
-               f_max=f_max, W=W):
+               f_max=f_max, W=W, use_gather=use_gather):
             A = ELL(cols, vals, row_nnz, (n, n))
             P = extended_i_interpolation_device(
                 A, S, state, config.p_max,
                 static_widths=(c_max, f_max, nc))
-            Kap = W * P.cols.shape[1]
-            AP = ell_spgemm_pairwise(A, P, out_width=Kap,
-                                     row_chunk=_pairwise_chunk(Kap),
-                                     strict=False)
+            if use_gather:
+                AP = None
+            else:
+                Kap = W * P.cols.shape[1]
+                AP = ell_spgemm_pairwise(A, P, out_width=Kap,
+                                         row_chunk=_pairwise_chunk(Kap),
+                                         strict=False)
             pm = P.mask()
             t_counts = jax.ops.segment_sum(
                 pm.astype(jnp.int32).reshape(-1),
                 jnp.where(pm, P.cols, nc).reshape(-1),
                 num_segments=nc + 1)[:nc]
-            widths = jnp.stack([jnp.max(AP.row_nnz),
-                                jnp.maximum(jnp.max(t_counts), 1)])
+            widths = jnp.stack([
+                jnp.max(AP.row_nnz) if AP is not None else jnp.int32(0),
+                jnp.maximum(jnp.max(t_counts), 1)])
             return P, AP, widths
 
         P, AP, w2 = p2(A_ell.cols, A_ell.vals, A_ell.row_nnz, S, state)
         ap_w, t_w = (int(v) for v in np.asarray(w2))
-        _log(f"  p2 done (ap_w={ap_w} t_w={t_w})")
+        if use_gather:
+            from parallel_amg_tpu.ops.gspgemm import (
+                GatherSpgemmPlan,
+                gather_spgemm,
+            )
+
+            Kap = W * P.cols.shape[1]
+            plan_a = GatherSpgemmPlan.from_ell_device(A_ell)
+            AP = gather_spgemm(plan_a, P, out_width=Kap, strict=False)
+            ap_w = max(int(jnp.max(AP.row_nnz)), 1)
+            _log(f"  p2 done (gather A·P: T={plan_a.n_pieces} "
+                 f"ap_w={ap_w} t_w={t_w})")
+        else:
+            _log(f"  p2 done (ap_w={ap_w} t_w={t_w})")
         AP = ELL(AP.cols[:, :ap_w], AP.vals[:, :ap_w], AP.row_nnz, AP.shape)
 
         K3 = t_w * ap_w
 
-        @jax.jit
-        def p3(Pc, Pv, Pn, APc, APv, APn, n=n, nc=nc, t_w=t_w, K3=K3):
-            Pe = ELL(Pc, Pv, Pn, (n, nc))
-            APe = ELL(APc, APv, APn, (n, nc))
-            R = ell_transpose(Pe, out_width=t_w)
-            Ac = ell_spgemm_pairwise(R, APe, out_width=K3,
-                                     row_chunk=_pairwise_chunk(K3),
-                                     strict=False)
-            Ac = ell_prune(Ac, tol=0.0, out_width=K3)
-            return R, Ac, jnp.maximum(jnp.max(Ac.row_nnz), 1)
+        if use_gather:
+            @jax.jit
+            def p3a(Pc, Pv, Pn, n=n, nc=nc, t_w=t_w):
+                return ell_transpose(ELL(Pc, Pv, Pn, (n, nc)),
+                                     out_width=t_w)
 
-        R, Ac, w_c = p3(P.cols, P.vals, P.row_nnz,
-                        AP.cols, AP.vals, AP.row_nnz)
-        w_c = int(w_c)
-        _log(f"  p3 done (w_c={w_c})")
+            R = p3a(P.cols, P.vals, P.row_nnz)
+            plan_r = GatherSpgemmPlan.from_ell_device(R)
+            Ac = gather_spgemm(plan_r, AP, out_width=K3, strict=False)
+
+            @jax.jit
+            def p3b(Cc, Cv, Cn, nc=nc, K3=K3):
+                Ac = ell_prune(ELL(Cc, Cv, Cn, (nc, nc)), tol=0.0,
+                               out_width=K3)
+                return Ac, jnp.maximum(jnp.max(Ac.row_nnz), 1)
+
+            Ac, w_c = p3b(Ac.cols, Ac.vals, Ac.row_nnz)
+            w_c = int(w_c)
+            _log(f"  p3 done (gather R·AP: T={plan_r.n_pieces} w_c={w_c})")
+        else:
+            @jax.jit
+            def p3(Pc, Pv, Pn, APc, APv, APn, n=n, nc=nc, t_w=t_w, K3=K3):
+                Pe = ELL(Pc, Pv, Pn, (n, nc))
+                APe = ELL(APc, APv, APn, (n, nc))
+                R = ell_transpose(Pe, out_width=t_w)
+                Ac = ell_spgemm_pairwise(R, APe, out_width=K3,
+                                         row_chunk=_pairwise_chunk(K3),
+                                         strict=False)
+                Ac = ell_prune(Ac, tol=0.0, out_width=K3)
+                return R, Ac, jnp.maximum(jnp.max(Ac.row_nnz), 1)
+
+            R, Ac, w_c = p3(P.cols, P.vals, P.row_nnz,
+                            AP.cols, AP.vals, AP.row_nnz)
+            w_c = int(w_c)
+            _log(f"  p3 done (w_c={w_c})")
         levels.append(Level(A_ell, P, R, d_inv, lam))
         A_ell = ELL(Ac.cols[:, :w_c], Ac.vals[:, :w_c], Ac.row_nnz,
                     (nc, nc))

@@ -189,21 +189,35 @@ def with_spmv_backend(h: "Hierarchy", backend: str = "mixed") -> "Hierarchy":
     return Hierarchy(levels, h.coarse_inv, h.config)
 
 
-def with_best_formats(h: "Hierarchy", target_backend: str = "tpu"
-                      ) -> "Hierarchy":
+def with_best_formats(h: "Hierarchy", target_backend: str = "tpu",
+                      device: bool = False) -> "Hierarchy":
     """Convert ELL level operators (A, P, R) to the fastest solve formats
     for ``target_backend``: DIA for banded square operators, TWELL (the
     Pallas within-tile-gather kernel) for everything else on TPU.
 
     The algebraic setup paths (device_rs/device_sa) compute in padded ELL
     planes; the SOLVE path pays XLA's serialized gather for every ELL
-    matvec on TPU (~0.1 Gnnz/s — ops/twell.py) unless converted.  Build is
-    host-side (runs once, cacheable); ``target_backend`` makes the choice
-    explicit so a CPU process can prepare a TPU-ready hierarchy.
-    Keep the un-converted hierarchy for float64 paths (TWELL is f32-only).
+    matvec on TPU (~0.1 Gnnz/s — ops/twell.py) unless converted.
+
+    ``device=False``: host-side numpy build — pulls every plane to host,
+    which costs ~90 s through the remote-TPU tunnel at RS-1024² (round-4
+    measurement).  ``device=True``: on-device build (ops/format_device.py) —
+    only scalar sizes cross the tunnel; same format policy, operator-equal
+    output (layout differs; see that module's doc).  Keep the un-converted
+    hierarchy for float64 paths (TWELL is f32-only).
     """
     from parallel_amg_tpu.ops.dia import DIA
     from parallel_amg_tpu.ops.twell import TWELL
+
+    if device:
+        from parallel_amg_tpu.ops.format_device import best_format_from_ell
+
+        def conv(T):
+            return best_format_from_ell(T, target_backend)
+
+        levels = [Level(conv(l.A), conv(l.P), conv(l.R), l.d_inv, l.lam_max,
+                        true_n=l.true_n) for l in h.levels]
+        return Hierarchy(levels, h.coarse_inv, h.config)
 
     def conv(T):
         if not isinstance(T, ELL):

@@ -2,11 +2,25 @@
 
 Mandated alongside CSR/COO (BASELINE.json:5).  Use case: vector PDEs where
 each grid node carries `bs` unknowns — the natural AMG unit is then a bs×bs
-dense block, and SpMV becomes batched small matmuls (einsum → VPU/MXU)
-instead of scalar gathers, amortizing the index traffic by bs².
+dense block, and SpMV becomes batched small matmuls amortizing the index
+traffic by bs².
 
 Layout: block-ELL — per block-row a fixed (padded) number of blocks:
-  bcols (RB, WB) int32 block-column ids, vals (RB, WB, bs, bs).
+  bcols (RB, WB) int32 block-column ids;
+  vals: a TUPLE of WB·bs² one-dimensional (RB,) scalar planes, plane
+  ``(w·bs + i)·bs + j`` holding entry (i, j) of slot-w blocks.
+
+Why scalar planes instead of a (RB, WB, bs, bs) tensor: any multi-dim value
+tensor gets a tiled TPU layout whose sublane padding differs between the
+producer and the loop that consumes it, and XLA then RELAYOUTS the whole
+operator inside every jitted solver loop — measured at 324³×3 (the 102M-DOF
+acceptance probe): an 8.6 GB operator plus its 10.6 GB in-loop relayout copy
+OOMed the 16 GB chip twice, for two different tensor layouts.  1-D f32
+planes have one canonical layout, the matvec consumes them as pure
+elementwise streams, and the same program AOT-compiles to temp=2.0 GB
+(scripts/probe_bsr_layout.py).  SpMV per slot is then a gather of x plus
+bs² fused multiply-adds — VPU streaming, which is also where 3×3-block
+arithmetic lives on TPU (too small for the MXU).
 """
 
 from __future__ import annotations
@@ -22,7 +36,7 @@ class BSR:
 
     def __init__(self, bcols, vals, brow_nnz, shape, bs):
         self.bcols = bcols      # (RB, WB) int32
-        self.vals = vals        # (RB, WB, bs, bs)
+        self.vals = tuple(vals)  # WB*bs*bs planes of (RB,) — module doc
         self.brow_nnz = brow_nnz  # (RB,) int32
         self.shape = tuple(int(s) for s in shape)  # element shape (n, m)
         self.bs = int(bs)
@@ -49,9 +63,25 @@ class BSR:
     def width(self) -> int:
         return self.bcols.shape[1]
 
+    def _plane(self, w, i, j):
+        return self.vals[(w * self.bs + i) * self.bs + j]
+
     @property
     def nnz(self):
-        return jnp.sum(jnp.any(self.vals != 0, axis=(2, 3))) * self.bs ** 2
+        bs = self.bs
+        total = jnp.zeros((), jnp.int32)
+        for w in range(self.width):
+            nz = self._plane(w, 0, 0) != 0
+            for i in range(bs):
+                for j in range(bs):
+                    if i or j:
+                        nz = nz | (self._plane(w, i, j) != 0)
+            total = total + jnp.sum(nz)
+        return total * bs ** 2
+
+    @property
+    def vals_nbytes(self) -> int:
+        return sum(int(v.size) * v.dtype.itemsize for v in self.vals)
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -73,15 +103,17 @@ class BSR:
         counts = np.bincount(ubr, minlength=RB)
         WB = max(int(counts.max()), 1) if len(ukey) else 1
         bcols = np.zeros((RB, WB), np.int32)
-        vals = np.zeros((RB, WB, bs, bs))
+        vals = np.zeros((WB, bs, bs, RB))
         slot = np.zeros(RB, np.int64)
         for k in range(len(ukey)):
             r = ubr[k]
             bcols[r, slot[r]] = ubc[k]
-            vals[r, slot[r]] = blocks[k]
+            vals[slot[r], :, :, r] = blocks[k]
             slot[r] += 1
         return cls(
-            jnp.asarray(bcols), jnp.asarray(vals, dtype=dtype),
+            jnp.asarray(bcols),
+            tuple(jnp.asarray(vals[w, i, j], dtype=dtype)
+                  for w in range(WB) for i in range(bs) for j in range(bs)),
             jnp.asarray(counts.astype(np.int32)), (n, m), bs,
         )
 
@@ -89,13 +121,13 @@ class BSR:
         from parallel_amg_tpu.ops.coo import COO
 
         bcols = np.asarray(self.bcols)
-        vals = np.asarray(self.vals)
+        vals = np.stack([np.asarray(v) for v in self.vals])
         cnt = np.asarray(self.brow_nnz)
         rs, cs, vs = [], [], []
         bs = self.bs
         for r in range(self.n_block_rows):
             for w in range(cnt[r]):
-                blk = vals[r, w]
+                blk = vals[w * bs * bs:(w + 1) * bs * bs, r].reshape(bs, bs)
                 i, j = np.nonzero(blk)
                 rs.append(r * bs + i)
                 cs.append(bcols[r, w] * bs + j)
@@ -108,18 +140,16 @@ class BSR:
 
     # -- device ops -------------------------------------------------------
     def matvec(self, x, row_chunk: int | None = None):
-        """y = A @ x — batched bs×bs block matmuls, one width slot at a
-        time.
+        """y = A @ x — per-slot gather + bs² fused multiply-add streams.
 
-        Padding slots hold zero blocks by construction (both builders
-        zero-fill), so no mask multiply is needed; the per-slot loop keeps
-        the gather temporary at (RB, bs) instead of (RB, WB, bs).
+        Padding slots hold zero planes by construction (both builders
+        zero-fill), so no mask multiply is needed.
 
         Above ~8M block rows XLA's scheduler keeps several slots' gather
-        temporaries live at once (measured 14.8 GB of HLO temps at 324³×7,
-        an OOM next to the 8.6 GB resident operator), so large operators
-        process rows in ``lax.map`` chunks — sequential by construction,
-        peak ≈ one chunk's gathers + the output.
+        temporaries live at once, so large operators process rows in
+        clamped-dynamic-slice chunks — sequential by construction, peak ≈
+        one chunk's gathers + the output (see module doc; the final chunk
+        overlaps the previous one and rewrites identical rows).
         """
         bs = self.bs
         MB = -(-self.shape[1] // bs)
@@ -128,42 +158,45 @@ class BSR:
         RB = self.n_block_rows
         if row_chunk is None and RB > (1 << 23):
             row_chunk = 1 << 21
+
+        def apply_rows(bcc, vlc, nr):
+            accs = [jnp.zeros((nr,), xp.dtype) for _ in range(bs)]
+            for w in range(self.width):
+                g = jnp.take(xb, bcc[:, w], axis=0)  # (nr, bs)
+                for i in range(bs):
+                    for j in range(bs):
+                        accs[i] = accs[i] + vlc[(w * bs + i) * bs + j] * g[:, j]
+            return jnp.stack(accs, axis=1)  # (nr, bs)
+
         if row_chunk and RB > row_chunk:
-            # clamped dynamic slices: padding bcols/vals to a chunk
-            # multiple would COPY the multi-GB value planes inside the
-            # program (measured 17.6 GB > HBM at 324³); the final chunk
-            # instead overlaps the previous one and rewrites identical rows
             n_ch = -(-RB // row_chunk)
 
             def body(i, y):
                 i0 = jnp.minimum(i * row_chunk, RB - row_chunk)
                 bcc = jax.lax.dynamic_slice_in_dim(self.bcols, i0,
                                                    row_chunk, 0)
-                vlc = jax.lax.dynamic_slice_in_dim(self.vals, i0,
-                                                   row_chunk, 0)
-                yc = jnp.zeros((row_chunk, bs), xp.dtype)
-                for w in range(self.width):
-                    g = jnp.take(xb, bcc[:, w], axis=0)
-                    yc = yc + jnp.einsum("rij,rj->ri", vlc[:, w], g)
+                vlc = [jax.lax.dynamic_slice_in_dim(v, i0, row_chunk, 0)
+                       for v in self.vals]
+                yc = apply_rows(bcc, vlc, row_chunk)
                 return jax.lax.dynamic_update_slice_in_dim(y, yc, i0, 0)
 
             y = jax.lax.fori_loop(0, n_ch, body,
                                   jnp.zeros((RB, bs), xp.dtype))
             return y.reshape(-1)[: self.shape[0]]
-        y = jnp.zeros((RB, bs), xp.dtype)
-        for w in range(self.width):
-            g = jnp.take(xb, self.bcols[:, w], axis=0)  # (RB, bs)
-            y = y + jnp.einsum("rij,rj->ri", self.vals[:, w], g)
+        y = apply_rows(self.bcols, list(self.vals), RB)
         return y.reshape(-1)[: self.shape[0]]
 
     def diagonal(self):
         bs = self.bs
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, self.bcols.shape, 0)
-        hit = self.bcols == r_iota
-        dblk = jnp.einsum("rw,rwij->rij", hit.astype(self.vals.dtype),
-                          self.vals)
-        d = jnp.diagonal(dblk, axis1=1, axis2=2).reshape(-1)
-        return d[: self.shape[0]]
+        r_iota = jnp.arange(self.n_block_rows, dtype=self.bcols.dtype)
+        cols = []
+        for i in range(bs):
+            d = jnp.zeros((self.n_block_rows,), self.vals[0].dtype)
+            for w in range(self.width):
+                hit = (self.bcols[:, w] == r_iota).astype(d.dtype)
+                d = d + hit * self._plane(w, i, i)
+            cols.append(d)
+        return jnp.stack(cols, axis=1).reshape(-1)[: self.shape[0]]
 
     def __matmul__(self, x):
         return self.matvec(x)

@@ -198,11 +198,11 @@ def bsr_from_kron_stencil(L: Stencil, C, dtype=jnp.float32):
             ws.append(jnp.where(ok, W[d], 0.0).reshape(n))
             bcols.append(jnp.where(ok, flat, 0).reshape(n))
         # the value planes are n·D·bs²·4 B (8.6 GB at 324³×7×3²): emit them
-        # as ONE broadcast product of the (n, D) masked-weight table with C
-        # — a stacked list-of-(n, bs, bs) pieces doubled that transiently
-        # and OOMed a 16 GB chip next to a live hierarchy
-        w_all = jnp.stack(ws, axis=1)  # (n, D), 28× smaller than vals
-        vals = (w_all[:, :, None, None] * C[None, None]).astype(dtype)
+        # as individual 1-D scalar planes w_d · C_ij — the BSR storage
+        # convention (ops/bsr.py module doc) — so no rank-4 tensor (and no
+        # tiled-layout relayout copy) ever exists
+        vals = tuple((ws[d] * C[i, j]).astype(dtype)
+                     for d in range(D) for i in range(bs) for j in range(bs))
         return jnp.stack(bcols, axis=1), vals
 
     bcols, vals = jax.jit(build)(L.weights)

@@ -241,7 +241,10 @@ class BTWELL:
         RB, WB = bcols.shape
         rows = np.repeat(np.arange(RB), WB)
         cols = bcols.reshape(-1).astype(np.int64)
-        vals = bvals.reshape(RB * WB, bs, bs)
+        # BSR vals are 1-D scalar planes (ops/bsr.py module doc) —
+        # reassemble (RB, WB, bs, bs) block order for the entry builder
+        vals = bvals.reshape(WB, bs, bs, RB).transpose(3, 0, 1, 2).reshape(
+            RB * WB, bs, bs)
         keep = (np.arange(WB)[None, :] < brow_nnz[:, None]).reshape(-1)
         keep &= np.any(vals != 0, axis=(1, 2))
         return cls.from_block_entries(rows[keep], cols[keep], vals[keep],
@@ -269,13 +272,16 @@ class BTWELL:
         counts = np.bincount(rows, minlength=RB)
         WB = max(int(counts.max()), 1) if len(rows) else 1
         bcols = np.zeros((RB, WB), np.int32)
-        bvals = np.zeros((RB, WB, bs, bs))
+        bvals = np.zeros((WB, bs, bs, RB))  # scalar planes (ops/bsr.py)
         slot = np.zeros(RB, np.int64)
         for r, c, bl in zip(rows, cols, blocks):
             bcols[r, slot[r]] = c
-            bvals[r, slot[r]] = bl
+            bvals[slot[r], :, :, r] = bl
             slot[r] += 1
-        return BSR(jnp.asarray(bcols), jnp.asarray(bvals, self.vals.dtype),
+        return BSR(jnp.asarray(bcols),
+                   tuple(jnp.asarray(bvals[w, i, j], self.vals.dtype)
+                         for w in range(WB) for i in range(bs)
+                         for j in range(bs)),
                    jnp.asarray(counts.astype(np.int32)), self.shape, bs)
 
     # -- SpMV kernel ----------------------------------------------------------

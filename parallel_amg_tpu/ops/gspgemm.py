@@ -84,6 +84,33 @@ class GatherSpgemmPlan:
         return cls(*children, shape, n_tiles, n_pieces, Wa)
 
     @classmethod
+    def from_ell_device(cls, A: ELL) -> "GatherSpgemmPlan":
+        """ON-DEVICE plan build — no host pulls of A's planes.
+
+        The numpy builder below pulls the left operand through the remote
+        tunnel (~5 s + a device→host pull at the 1024² Galerkin operands —
+        the round-4 waiver's stated reason the winning kernel stayed out of
+        the production driver).  This build is two jitted programs (a
+        piece-count pass, then a scatter pass with static sizes); only the
+        piece-count scalar crosses the tunnel.  Piece padding buckets so
+        repeated shapes share compiled programs; padded pieces carry
+        first=0/last=0 and zero planes (pure no-op FMAs in the kernel).
+        """
+        n_rows, n_cols = A.shape
+        n_tiles = max(-(-n_rows // R_TILE), 1)
+        max_w = -(-n_cols // WIN)
+        if n_tiles * max_w >= np.iinfo(np.int32).max:
+            return cls.from_ell(A)  # int32 piece-key headroom exceeded
+        t_real = int(_plan_stats(A.cols, A.vals, A.row_nnz,
+                                 n_rows, n_cols, n_tiles))
+        t_pad = _plan_bucket(t_real)
+        coltile, rowtile, first, last, idx, vals = _plan_build(
+            A.cols, A.vals, A.row_nnz, n_rows, n_cols, n_tiles, t_pad)
+        return cls(coltile=coltile, rowtile=rowtile, first=first, last=last,
+                   idx=idx, vals=vals, shape=(n_rows, n_cols),
+                   n_tiles=n_tiles, n_pieces=t_pad, Wa=A.cols.shape[1])
+
+    @classmethod
     def from_ell(cls, A: ELL) -> "GatherSpgemmPlan":
         """Vectorized numpy build (runs once per left operand)."""
         n_rows, n_cols = A.shape
@@ -145,6 +172,85 @@ class GatherSpgemmPlan:
             n_pieces=T,
             Wa=Wa,
         )
+
+
+# ---------------------------------------------------------------------------
+# on-device plan build (GatherSpgemmPlan.from_ell_device)
+# ---------------------------------------------------------------------------
+
+_IMAX32 = np.iinfo(np.int32).max
+
+
+def _plan_entries(cols, vals, row_nnz, n_rows, n_tiles, max_w):
+    """Per-entry (pkey, k, lane, liw, v, n_entries); plus n_tiles synthetic
+    piece keys (rt, window 0) appended to the KEY STREAM ONLY so every row
+    tile owns ≥1 piece — they join piece enumeration but never the plane
+    scatter (a scattered dummy could collide with a real rank-0 entry)."""
+    W = cols.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 1)
+    valid = (k < row_nnz[:, None]) & (vals != 0)
+    rt = r // R_TILE
+    lane = r % R_TILE
+    w = cols.astype(jnp.int32) // WIN
+    liw = cols.astype(jnp.int32) % WIN
+    pkey = jnp.where(valid, rt * max_w + w, _IMAX32).reshape(-1)
+    tile_keys = jnp.arange(n_tiles, dtype=jnp.int32) * max_w
+    return (jnp.concatenate([pkey, tile_keys]), k.reshape(-1),
+            lane.reshape(-1), liw.reshape(-1), vals.reshape(-1))
+
+
+@partial(jax.jit, static_argnames=("n_rows", "n_cols", "n_tiles"))
+def _plan_stats(cols, vals, row_nnz, n_rows, n_cols, n_tiles):
+    max_w = -(-n_cols // WIN)
+    pkey, *_ = _plan_entries(cols, vals, row_nnz, n_rows, n_tiles, max_w)
+    s = jnp.sort(pkey)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]) & (s < _IMAX32)
+    return jnp.sum(is_first)
+
+
+@partial(jax.jit,
+         static_argnames=("n_rows", "n_cols", "n_tiles", "t_pad"))
+def _plan_build(cols, vals, row_nnz, n_rows, n_cols, n_tiles, t_pad):
+    max_w = -(-n_cols // WIN)
+    pkey, k, lane, liw, v = _plan_entries(cols, vals, row_nnz, n_rows,
+                                          n_tiles, max_w)
+    E = pkey.shape[0]
+    E_ent = n_rows * cols.shape[1]
+    iota = jnp.arange(E, dtype=jnp.int32)
+    s, order = jax.lax.sort((pkey, iota), num_keys=1)
+    p_first = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]) & (s < _IMAX32)
+    pid_s = jnp.cumsum(p_first.astype(jnp.int32)) - 1
+    entry_piece = jnp.full((E,), t_pad, jnp.int32).at[order].set(
+        jnp.where(s < _IMAX32, pid_s, t_pad))[:E_ent]
+
+    tgt = jnp.where(p_first, pid_s, t_pad)
+    piece_rt = jnp.full((t_pad,), n_tiles - 1, jnp.int32).at[tgt].set(
+        s // max_w, mode="drop")
+    piece_w = jnp.zeros((t_pad,), jnp.int32).at[tgt].set(
+        s % max_w, mode="drop")
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (piece_rt[1:] != piece_rt[:-1]).astype(jnp.int32)])
+    last = jnp.concatenate(
+        [(piece_rt[1:] != piece_rt[:-1]).astype(jnp.int32),
+         jnp.ones((1,), jnp.int32)])
+
+    Wa = cols.shape[1]
+    idx_plane = jnp.zeros((t_pad, Wa, R_TILE), jnp.int32).at[
+        entry_piece, k, lane].set(liw, mode="drop").astype(jnp.int8)
+    val_plane = jnp.zeros((t_pad, Wa, R_TILE), jnp.float32).at[
+        entry_piece, k, lane].set(v.astype(jnp.float32), mode="drop")
+    return piece_w, piece_rt, first, last, idx_plane, val_plane
+
+
+def _plan_bucket(t: int) -> int:
+    if t <= 256:
+        return 256
+    step = max(256, 1 << (int(t - 1).bit_length() - 3))
+    return -(-t // step) * step
 
 
 def _gather_kernel(ct_ref, rt_ref, first_ref, last_ref,
@@ -334,19 +440,39 @@ def _dedup_compact_call(cand_cols, cand_vals, sent: int, out_width: int,
 
 
 def gather_spgemm(A, B: ELL, out_width: int | None = None,
-                  plan: GatherSpgemmPlan | None = None) -> ELL:
+                  plan: GatherSpgemmPlan | None = None,
+                  strict: bool = True) -> ELL:
     """C = A @ B with the rank-plane Pallas gather pipeline.
 
     A: ELL (or a prebuilt ``plan``).  B: ELL.  One host sync for the
     output width unless given (then a second dedup pass compacts — give
     ``out_width`` when known to run the fused single-pass kernel).
+
+    An explicit ``out_width`` smaller than a row's distinct-column count
+    would silently DROP that row's trailing entries (nnz = min(dn,
+    out_width)); ``strict=True`` (the default, matching
+    ``ell_spgemm``/``ell_spgemm_pairwise``) raises instead — eager calls
+    only, the check needs a host readback.
     """
     if plan is None:
-        plan = GatherSpgemmPlan.from_ell(A)
+        plan = (A if isinstance(A, GatherSpgemmPlan)
+                else GatherSpgemmPlan.from_ell(A))
     n_rows, _ = plan.shape
     n_cols_out = B.shape[1]
     sent = jnp.int32(n_cols_out)
+    explicit_width = out_width is not None
     cand_c, cand_v = gather_candidates(plan, B)
+
+    def _check_width(dn):
+        # eager-only (host readback); mirrors ell_spgemm's strict contract
+        if (strict and explicit_width
+                and not isinstance(dn, jax.core.Tracer)):
+            worst = int(jnp.max(dn))
+            if worst > out_width:
+                raise ValueError(
+                    f"gather_spgemm: out_width={out_width} < max distinct "
+                    f"columns {worst} — entries would be dropped "
+                    "(pass strict=False to clamp)")
 
     if _use_interpret():
         # CPU/interpret: the fused dedup+compact kernel emulates per grid
@@ -357,6 +483,7 @@ def gather_spgemm(A, B: ELL, out_width: int | None = None,
         dc, dv, dn = dc[:n_rows], dv[:n_rows], dn[:n_rows]
         if out_width is None:
             out_width = max(int(jnp.max(dn)), 1)  # host sync
+        _check_width(dn)
         first = dc != sent
         pos = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
         pos_c = jnp.where(first & (pos < out_width), pos, out_width)
@@ -378,5 +505,6 @@ def gather_spgemm(A, B: ELL, out_width: int | None = None,
 
     cc, cv, dn = _dedup_compact_call(cand_c, cand_v, n_cols_out, out_width)
     cc, cv, dn = cc[:n_rows], cv[:n_rows], dn[:n_rows]
+    _check_width(dn)
     nnz = jnp.minimum(dn, out_width)
     return ELL(cc, cv, nnz.astype(jnp.int32), (n_rows, n_cols_out))

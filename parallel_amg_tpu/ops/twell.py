@@ -253,8 +253,11 @@ class TWELL:
                 g = jnp.take_along_axis(
                     win[:slots], idx32[j * slots:(j + 1) * slots], axis=1
                 )
+                # value planes may ride as bf16 (halves the dominant plane
+                # traffic — docs/VCYCLE_RS.md); upcast in VMEM, not HBM
                 acc_ref[j * slots:(j + 1) * slots, :] += (
-                    vals_ref[0, j * slots:(j + 1) * slots] * g
+                    vals_ref[0, j * slots:(j + 1) * slots]
+                    .astype(jnp.float32) * g
                 )
 
             @pl.when(last_ref[t] == 1)
@@ -278,13 +281,15 @@ class TWELL:
             ),
             scratch_shapes=[pltpu.VMEM((wg * slots, R), jnp.float32)],
         )
+        vals_in = (self.vals if self.vals.dtype in (jnp.float32, jnp.bfloat16)
+                   else self.vals.astype(jnp.float32))
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((self.n_tiles, 1, R), jnp.float32),
             grid_spec=grid_spec,
             interpret=_use_interpret(),
         )(self.coltile, self.rowtile, self.first, self.last,
-          x_rep.astype(jnp.float32), self.idx, self.vals.astype(jnp.float32))
+          x_rep.astype(jnp.float32), self.idx, vals_in)
         y = out.reshape(self.n_tiles * R)[: self.n_rows]
         return y.astype(x.dtype)
 

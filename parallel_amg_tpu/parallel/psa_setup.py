@@ -108,15 +108,22 @@ def pcsr_mis_seed(A: PCSR, Sd, So, seed: int = 0, max_rounds: int = 64):
     m = A.row_partition.rows_per_shard
     n_pad = S * m
 
-    w_rand = jax.random.uniform(jax.random.PRNGKey(seed), (n_pad,))
+    # weights: random PERMUTATION of row ids (int32) — all-distinct by
+    # construction, exact integer compares.  f32 uniform weights only carry
+    # ~2^24 distinct values, so at multi-million-row scale two nodes within
+    # two hops tie and BOTH seed, breaking the distance-2 MIS invariant
+    # (round-4 advisor finding).
+    w_rand = jax.random.permutation(
+        jax.random.PRNGKey(seed), n_pad).astype(jnp.int32)
+    _NEGI = jnp.int32(jnp.iinfo(jnp.int32).min + 1)
 
     def kernel(sd, so, dc, oc, sidx, rmap, wr):
         sd, so, dc, oc = sd[0], so[0], dc[0], oc[0]
         sidx, rmap = sidx[0], rmap[0]
 
         def nmax(v, v_g):
-            md = jnp.max(jnp.where(sd, v[dc], _NEG), axis=1)
-            mo = jnp.max(jnp.where(so, v_g[oc], _NEG), axis=1)
+            md = jnp.max(jnp.where(sd, v[dc], _NEGI), axis=1)
+            mo = jnp.max(jnp.where(so, v_g[oc], _NEGI), axis=1)
             return jnp.maximum(md, mo)
 
         def reach(f, f_g):
@@ -130,10 +137,10 @@ def pcsr_mis_seed(A: PCSR, Sd, So, seed: int = 0, max_rounds: int = 64):
 
         def round_body(carry):
             cand, seeds, k, _ = carry
-            wc = jnp.where(cand, w, _NEG)
-            wc_g = _fetch(sidx, rmap, wc, _NEG)
+            wc = jnp.where(cand, w, _NEGI)
+            wc_g = _fetch(sidx, rmap, wc, _NEGI)
             h = jnp.maximum(wc, nmax(wc, wc_g))
-            h_g = _fetch(sidx, rmap, h, _NEG)
+            h_g = _fetch(sidx, rmap, h, _NEGI)
             m2hop = nmax(h, h_g)
             is_max = cand & (m2hop <= w)
             seeds = seeds | is_max
@@ -281,12 +288,16 @@ def distributed_sa_setup(A: PCSR, config: AMGConfig, dtype=jnp.float32,
             # promote unreached strongly-connected nodes (-1) to seeds and
             # renumber — cannot occur on symmetric strength graphs (every
             # node is within two hops of a seed by MIS maximality), so this
-            # is a loud one-shot fallback for asymmetric patterns
-            assert attempt == 0, (
-                f"pcsr_attach: {leftover} rows unreached after promotion")
-            state = jnp.asarray(np.where(
-                np.asarray(agg) == -1, COARSE, np.asarray(state))
-            ).astype(jnp.int32)
+            # is a loud one-shot fallback for asymmetric patterns.  The
+            # promotion stays on device (elementwise where preserves the
+            # row sharding — a host round-trip here would break multi-host
+            # deployments, round-4 advisor finding).
+            if attempt != 0:
+                raise ValueError(
+                    f"pcsr_attach: {leftover} rows unreached after "
+                    "promotion — asymmetric strength pattern the one-shot "
+                    "seed promotion cannot close")
+            state = jnp.where(agg == -1, COARSE, state).astype(jnp.int32)
         if nc_true >= true_n or nc_true == 0:
             levels.append(Level(A, None, None, d_inv, lam, true_n=true_n))
             break

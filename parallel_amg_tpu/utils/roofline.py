@@ -226,6 +226,7 @@ def scaling_projection(hierarchy, vcycle_s: float, shard_counts,
         eff = t_comp / (t_comp + m["t_cycle_comm_s"])
         rows.append({
             "n_shards": N,
+            "mode": "strong",
             "t_compute_s": t_comp,
             "t_comm_s": m["t_cycle_comm_s"],
             "t_halo_bw_s": m["t_halo_bw_s"],
@@ -233,5 +234,93 @@ def scaling_projection(hierarchy, vcycle_s: float, shard_counts,
             "t_boundary_allgather_s": m["t_boundary_allgather_s"],
             "projected_efficiency": eff,
             "constants": m["constants"],
+        })
+    return rows
+
+
+def weak_scaling_projection(hierarchy, vcycle_s: float, shard_counts,
+                            agglomerate_n: int = 2048,
+                            ici_gbps: float = ICI_LINK_GBPS,
+                            lat_s: float = COLLECTIVE_LATENCY_S,
+                            scale_rows_to: int | None = None) -> list:
+    """Projected weak-scaling efficiency: CONSTANT per-shard load.
+
+    This is the regime the spec target actually names (BASELINE.json:5's
+    ≥70% is attached to the ≥100M-DOF configuration, i.e. ~13M rows PER
+    CHIP at N=8 — not the fixed-size strong-scaling regime
+    ``scaling_projection`` models, where the round-4 verdict noted the two
+    were conflated).  ``hierarchy``/``vcycle_s`` describe the PER-SHARD
+    problem; the global problem grows N× along axis 0, so:
+
+    - per-shard compute stays ``vcycle_s`` (the measured single-chip time);
+    - every level whose GLOBAL size N·n exceeds the agglomeration threshold
+      pays its halo exchanges — halo planes are the shard-local boundary,
+      CONSTANT in N (the reason weak scaling is the friendly regime);
+    - levels below the threshold are replicated: one boundary all-gather
+      (log₂N hop latency + ≤ threshold·4 bytes).
+
+    ``scale_rows_to``: extrapolate the measured per-shard problem to a
+    larger per-shard row count R (bandwidth-bound ⇒ vcycle time ∝ n; halo
+    plane area ∝ n^(2/3) for a 3-D block).  Used to state the projection at
+    the ≥100M-DOF per-chip load (~13M rows) from the measured 128³ (2.1M)
+    hierarchy without pretending a 13M-row cycle was measured — the row is
+    labeled extrapolated.
+    """
+    base_rows = None
+    t_scale = b_scale = 1.0
+    if scale_rows_to is not None:
+        for l in hierarchy.levels:
+            A = l.A
+            base_rows = (int(np.prod(A.dims)) if hasattr(A, "dims")
+                         and A.dims is not None else A.n_rows)
+            break
+        ratio = scale_rows_to / base_rows
+        t_scale = ratio           # bandwidth-bound compute
+        b_scale = ratio ** (2 / 3)  # boundary area of a 3-D block
+    import math
+
+    cfg = getattr(hierarchy, "config", None)
+    nu = (cfg.nu_pre + cfg.nu_post) if cfg else 2
+    deg = cfg.cheb_degree if (cfg and cfg.smoother == "chebyshev") else 1
+    matvecs = deg * nu + 1
+    rows = []
+    for N in shard_counts:
+        n_msgs = 0
+        t_bw = 0.0
+        boundary_global_n = 0
+        for l in hierarchy.levels:
+            A = l.A
+            if not hasattr(A, "dims") or not hasattr(A, "offsets") \
+                    or A.dims is None:
+                continue
+            n = int(np.prod(A.dims))
+            if N * n * t_scale <= agglomerate_n:
+                if boundary_global_n == 0:
+                    boundary_global_n = int(N * n * t_scale)
+                continue
+            h = _axis0_reach(A)
+            plane = int(np.prod(A.dims[1:])) if len(A.dims) > 1 else 1
+            n_msgs += matvecs
+            t_bw += (2 * h * plane * 4 * b_scale * matvecs
+                     ) / (ici_gbps * 1e9)
+        hops = max(int(math.ceil(math.log2(max(N, 2)))), 1)
+        t_gather = (hops * lat_s
+                    + boundary_global_n * 4 * (N - 1) / N
+                    / (ici_gbps * 1e9)) if boundary_global_n else 0.0
+        t_comm = t_bw + n_msgs * lat_s + t_gather
+        t_comp = vcycle_s * t_scale
+        rows.append({
+            "n_shards": N,
+            "mode": "weak",
+            "per_shard_rows": int((base_rows or 0) * t_scale) or None,
+            "extrapolated": scale_rows_to is not None,
+            "t_compute_s": t_comp,
+            "t_comm_s": t_comm,
+            "t_halo_bw_s": t_bw,
+            "t_halo_latency_s": n_msgs * lat_s,
+            "t_boundary_allgather_s": t_gather,
+            "projected_efficiency": t_comp / (t_comp + t_comm),
+            "constants": {"ici_gbps": ici_gbps,
+                          "collective_latency_s": lat_s},
         })
     return rows

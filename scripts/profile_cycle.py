@@ -46,17 +46,12 @@ def main_rs():
                         n_coarse_max=256, on_device_setup=True,
                         interpolation="extended_i")
     cache = _rs_cache_path(nx)
-    cache_fast = cache.replace(".pkl", "_fast.pkl")
-    if os.path.exists(cache_fast):
-        h = load_hierarchy(cache_fast)
+    if os.path.exists(cache):
+        h0 = load_hierarchy(cache)
     else:
-        if os.path.exists(cache):
-            h0 = load_hierarchy(cache)
-        else:
-            h0 = pat.setup(poisson2d(nx).to_csr(), cfg)
-            save_hierarchy(cache, h0)
-        h = with_best_formats(h0, "tpu")
-        save_hierarchy(cache_fast, h)
+        h0 = pat.setup(poisson2d(nx).to_csr(), cfg)
+        save_hierarchy(cache, h0)
+    h = with_best_formats(h0, "tpu", device=True)
 
     import numpy as np
     rows = []

@@ -137,3 +137,30 @@ def test_device_rs_anisotropic(rng):
                       tol=1e-6, maxiter=80)
     assert bool(res.converged)
     assert int(res.iters) <= 30
+
+
+def test_fused_driver_gather_engine_parity(rng, monkeypatch):
+    """device_rs_setup_fused with the Pallas gather SpGEMM engine forced
+    (PAT_RS_SPGEMM=gather) builds the same hierarchy as the pairwise ESC
+    path — same level shapes, roundoff-level operator diffs, identical PCG
+    iteration count (round-4 verdict item 6: the winning kernel must be a
+    production path, not a bench-only artifact)."""
+    from parallel_amg_tpu.amg.device_rs import device_rs_setup_fused
+
+    A = _scipy(poisson2d(48))
+    cfg = AMGConfig(coarsening="rs", smoother="chebyshev", n_coarse_max=64,
+                    interpolation="extended_i")
+    monkeypatch.setenv("PAT_RS_SPGEMM", "gather")
+    hg = device_rs_setup_fused(_ell(A), cfg)
+    monkeypatch.setenv("PAT_RS_SPGEMM", "pairwise")
+    hp = device_rs_setup_fused(_ell(A), cfg)
+    assert [l.A.n_rows for l in hg.levels] == [l.A.n_rows for l in hp.levels]
+    for lg, lp in zip(hg.levels, hp.levels):
+        d = abs(lg.A.to_csr().to_scipy() - lp.A.to_csr().to_scipy())
+        assert (d.max() if d.nnz else 0.0) < 1e-5
+    b = rng.normal(size=A.shape[0])
+    rg = pat.amg_pcg(None, hg, jnp.asarray(b, jnp.float32), tol=1e-6,
+                     maxiter=50)
+    rp = pat.amg_pcg(None, hp, jnp.asarray(b, jnp.float32), tol=1e-6,
+                     maxiter=50)
+    assert bool(rg.converged) and int(rg.iters) == int(rp.iters)

@@ -101,3 +101,42 @@ def test_dedup_compact_kernel_interpret():
     assert cc[1].tolist()[0] == 5 and float(cv[1][0]) == 4.0
     assert float(cv[2].sum()) == 0.0
     assert cc[3].tolist() == [1, 2, 3]  # first 3 leaders kept, rest dropped
+
+
+def test_device_plan_matches_host_products():
+    """GatherSpgemmPlan.from_ell_device: same products as the numpy plan
+    (layout may differ — piece padding, synthetic tile keys; the operator
+    contract is product equality)."""
+    rng = np.random.default_rng(11)
+    coo = poisson2d(20)
+    A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
+    n = A_sp.shape[0]
+    nc = 97
+    P_sp = (sp.random(n, nc, density=0.03, random_state=4, format="csr")
+            + sp.eye(n, nc) * 0.5).tocsr()
+    P_sp.data = rng.normal(size=P_sp.nnz)
+    A = _ell(A_sp)
+    plan_d = GatherSpgemmPlan.from_ell_device(A)
+    AP = gather_spgemm(plan_d, _ell(P_sp))
+    _check(AP, A_sp @ P_sp)
+    # rows with no entries (empty tiles in a >128-row operand)
+    lil = A_sp.tolil()
+    lil[0, :] = 0
+    lil[n - 1, :] = 0
+    A2 = lil.tocsr()
+    A2.eliminate_zeros()
+    plan2 = GatherSpgemmPlan.from_ell_device(_ell(A2))
+    _check(gather_spgemm(plan2, _ell(P_sp)), A2 @ P_sp)
+
+
+def test_strict_width_raises():
+    coo = poisson2d(12)
+    A_sp = sp.csr_matrix((coo.val, (coo.row, coo.col)), shape=coo.shape)
+    A2 = (A_sp @ A_sp).tocsr()  # rows with up to 13 distinct columns
+    wmax = int(np.diff(A2.indptr).max())
+    with pytest.raises(ValueError, match="out_width"):
+        gather_spgemm(_ell(A_sp), _ell(A_sp), out_width=wmax - 2)
+    # strict=False clamps silently (documented)
+    C = gather_spgemm(_ell(A_sp), _ell(A_sp), out_width=wmax - 2,
+                      strict=False)
+    assert int(np.asarray(C.row_nnz).max()) == wmax - 2

@@ -129,3 +129,25 @@ def test_halo_bytes_match_hlo():
     plane = 16 * 16
     model = 2 * h * plane * 4
     assert moved == model, (moved, model)
+
+
+def test_weak_scaling_projection_modes(h_sa3d):
+    """Weak mode: constant per-shard compute, halo bytes constant in N,
+    efficiency monotone-decreasing only through latency/allgather terms;
+    extrapolated rows label themselves."""
+    from parallel_amg_tpu.utils.roofline import weak_scaling_projection
+
+    rows = weak_scaling_projection(h_sa3d, 1e-3, [8, 32, 64])
+    assert [r["n_shards"] for r in rows] == [8, 32, 64]
+    for r in rows:
+        assert r["mode"] == "weak" and not r["extrapolated"]
+        assert r["t_compute_s"] == 1e-3  # constant per-shard load
+        assert 0 < r["projected_efficiency"] <= 1
+        assert r["constants"]["ici_gbps"] > 0
+    # halo bandwidth term must not grow with N (shard boundary is constant)
+    assert rows[2]["t_halo_bw_s"] <= rows[0]["t_halo_bw_s"] * 1.5
+    ex = weak_scaling_projection(h_sa3d, 1e-3, [8],
+                                 scale_rows_to=13_000_000)[0]
+    assert ex["extrapolated"] and ex["per_shard_rows"] == 13_000_000
+    # larger shards amortize comm: efficiency must not drop
+    assert ex["projected_efficiency"] >= rows[0]["projected_efficiency"]
