@@ -380,6 +380,9 @@ def bench_amg_rs(nx=1024, degraded=False):
     t_cycle = marginal_time(lambda x, hh, bb: pat.vcycle(hh, x, bb),
                             jnp.zeros_like(b), h_fast, b)
     res = pat.amg_pcg(None, h_fast, b, tol=1e-6, maxiter=100)
+    # bf16 value planes (docs/VCYCLE_RS.md lever 2): the cycle is TWELL
+    # plane-traffic-bound at 0.02-0.13 occupancy, so halving plane bytes
+    # is the one format-level lever left; the TWELL kernel upcasts in VMEM
     out = {
         "n": n,
         "nx": nx,
@@ -390,6 +393,20 @@ def bench_amg_rs(nx=1024, degraded=False):
         "cg_iters_1e-6": int(res.iters),
         "converged": bool(res.converged),
     }
+    try:
+        def cast16(x):
+            return (x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x)
+        h16 = jax.tree_util.tree_map(cast16, h_fast)
+        h16 = type(h_fast)(h16.levels, h_fast.coarse_inv, h_fast.config)
+        out["vcycle_bf16_s"] = marginal_time(
+            lambda x, hh, bb: pat.vcycle(hh, x, bb),
+            jnp.zeros_like(b), h16, b)
+        res16 = pat.amg_pcg(None, h16, b, tol=1e-6, maxiter=100)
+        out["cg_iters_bf16_precond"] = int(res16.iters)
+    except Exception as e:  # noqa: BLE001
+        log(f"  bf16 vcycle FAILED: {e!s:.300}")
     try:
         gc, oc = h.complexity()
         out["grid_complexity"] = round(gc, 3)

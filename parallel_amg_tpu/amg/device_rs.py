@@ -536,6 +536,15 @@ def _pairwise_chunk(K: int, budget_bytes: int = 1 << 28) -> int:
 # already ~5× (20 ms saved ≫ dispatch cost on any local deployment and ≈
 # break-even through the 27 ms tunnel).
 _GATHER_MIN_ROWS = 262144
+# Remote-tunnel guard: the gather-pipeline kernel compile at the 2^20-row
+# (1024² level-0) operand WEDGES the axon remote compiler reproducibly
+# (tcp_recvmsg block, 3/3 attempts, 2026-08-21) while the identical
+# kernels compile and run at the 2^18-row operand (anisotropic-512² stage,
+# same session).  Auto mode therefore caps at 2^19 rows here; local
+# deployments lift the cap with PAT_RS_SPGEMM=gather (the kernels
+# themselves are proven at 1024² operands — scripts/bench_spgemm.py
+# measured 8.7× there in round 4 with host-built plans).
+_GATHER_MAX_ROWS = 1 << 19
 
 
 def _spgemm_engine(n_rows: int) -> bool:
@@ -545,7 +554,7 @@ def _spgemm_engine(n_rows: int) -> bool:
         return True
     if mode == "pairwise":
         return False
-    return n_rows >= _GATHER_MIN_ROWS
+    return _GATHER_MIN_ROWS <= n_rows < _GATHER_MAX_ROWS
 
 
 def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,
@@ -691,13 +700,37 @@ def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,
         K3 = t_w * ap_w
 
         if use_gather:
+            # the transpose is FUSED with the R-plan piece count in one
+            # program: a standalone 1M-row ell_transpose program is a
+            # reproducible remote-compile wedge on the tunnel (observed
+            # rounds 3 and 5; the same op inside a larger program
+            # compiles fine), and the plan stats need R anyway
+            from parallel_amg_tpu.ops.gspgemm import (
+                R_TILE as _GRT,
+                _plan_build,
+                _plan_bucket,
+                _plan_stats,
+            )
+
+            n_tiles_r = max(-(-nc // _GRT), 1)
+
             @jax.jit
             def p3a(Pc, Pv, Pn, n=n, nc=nc, t_w=t_w):
-                return ell_transpose(ELL(Pc, Pv, Pn, (n, nc)),
-                                     out_width=t_w)
+                R = ell_transpose(ELL(Pc, Pv, Pn, (n, nc)),
+                                  out_width=t_w)
+                t_real = _plan_stats(R.cols, R.vals, R.row_nnz,
+                                     nc, n, n_tiles_r)
+                return R, t_real
 
-            R = p3a(P.cols, P.vals, P.row_nnz)
-            plan_r = GatherSpgemmPlan.from_ell_device(R)
+            R, t_real = p3a(P.cols, P.vals, P.row_nnz)
+            t_pad_r = _plan_bucket(int(t_real))
+            pw, prt, pf, pl_, pidx, pvals = _plan_build(
+                R.cols, R.vals, R.row_nnz, nc, n, n_tiles_r, t_pad_r)
+            plan_r = GatherSpgemmPlan(
+                coltile=pw, rowtile=prt, first=pf, last=pl_,
+                idx=pidx, vals=pvals, shape=(nc, n),
+                n_tiles=n_tiles_r, n_pieces=t_pad_r,
+                Wa=R.cols.shape[1])
             Ac = gather_spgemm(plan_r, AP, out_width=K3, strict=False)
 
             @jax.jit

@@ -58,20 +58,28 @@ _SLOTS = (2, 4, 8)
 # shared: flattened entry view of an ELL (+ one dummy entry per row tile)
 # ---------------------------------------------------------------------------
 
-def _entries(cols, row_nnz, n_rows, n_tiles):
-    """Flat (rows, cols, valid) for an ELL's (R, W) planes plus one
-    synthetic zero entry per row tile (guarantees every tile owns ≥1 TWELL
-    piece with static shapes — the numpy builder's dummy-piece pass)."""
+def _entries(cols, row_nnz, n_rows):
+    """Flat (rows, cols, valid) views of an ELL's (R, W) planes."""
     W = cols.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 0).reshape(-1)
     valid = (jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 1)
              < row_nnz[:, None]).reshape(-1)
-    d_rows = jnp.arange(n_tiles, dtype=jnp.int32) * R
-    rows = jnp.concatenate([rows, d_rows])
-    valid = jnp.concatenate([valid, jnp.ones((n_tiles,), bool)])
-    cols = jnp.concatenate([cols.reshape(-1).astype(jnp.int32),
-                            jnp.zeros((n_tiles,), jnp.int32)])
-    return rows, cols, valid
+    return rows, cols.reshape(-1).astype(jnp.int32), valid
+
+
+def _tile_anchor_keys(rg_key, rt, valid, n_tiles, max_g):
+    """One synthetic (rt, g) piece key per row tile, anchored at the
+    tile's MINIMUM real window group so it MERGES with an existing piece
+    (a fixed g=0 anchor minted a junk piece for almost every tile —
+    measured +30-45% pieces, the round-5 V-cycle regression).  Empty tiles
+    anchor at g=0, creating the zero piece the kernel's first/last flags
+    require.  These keys join piece ENUMERATION only — never the plane
+    scatter."""
+    m_g = jax.ops.segment_min(
+        jnp.where(valid, rg_key - rt * max_g, max_g), rt,
+        num_segments=n_tiles)
+    m_g = jnp.where(m_g >= max_g, 0, m_g)  # empty tile → anchor at g=0
+    return jnp.arange(n_tiles, dtype=jnp.int32) * max_g + m_g
 
 
 # ---------------------------------------------------------------------------
@@ -153,11 +161,17 @@ def _twell_stats(cols, row_nnz, n_rows, n_cols, n_tiles):
 
     pieces(rt, g) for slot count s = ceil(M/s) where M is the max
     (lane, wi)-group size within (rt, g), so one sorted pass per wg yields
-    the whole slots row via segment maxima.
+    the whole slots row via segment maxima.  Empty row tiles add one piece
+    each (the kernel's first/last flags need every tile covered) — the
+    numpy builder's ``n_tiles - covered`` term.
     """
-    rows, cols, valid = _entries(cols, row_nnz, n_rows, n_tiles)
+    rows, cols, valid = _entries(cols, row_nnz, n_rows)
     E = rows.shape[0]
     iota = jnp.arange(E, dtype=jnp.int32)
+    rt = rows // R
+    has = jax.ops.segment_max(valid.astype(jnp.int32), rt,
+                              num_segments=n_tiles)
+    n_empty = n_tiles - jnp.sum(jnp.maximum(has, 0))
     counts = {}
     for wg in _WGS:
         max_g = -(-(-(-n_cols // WIN)) // wg)
@@ -179,7 +193,7 @@ def _twell_stats(cols, row_nnz, n_rows, n_cols, n_tiles):
         # empty segments come back as int32 min (the max identity) — clamp
         seg_max = jnp.maximum(seg_max, 0)
         for s in _SLOTS:
-            counts[(s, wg)] = jnp.sum(-(-seg_max // s))
+            counts[(s, wg)] = jnp.sum(-(-seg_max // s)) + n_empty
     return jnp.asarray([counts[c] for c in _TUNE_SPACE], jnp.int32)
 
 
@@ -188,9 +202,8 @@ def _twell_stats(cols, row_nnz, n_rows, n_cols, n_tiles):
                           "t_pad"))
 def _twell_build(cols, vals, row_nnz, n_rows, n_cols, n_tiles, slots, wg,
                  t_pad):
-    rows, cols, valid = _entries(cols, row_nnz, n_rows, n_tiles)
-    vals = jnp.concatenate(
-        [vals.reshape(-1), jnp.zeros((n_tiles,), vals.dtype)])
+    rows, cols, valid = _entries(cols, row_nnz, n_rows)
+    vals = vals.reshape(-1)
     E = rows.shape[0]
     iota = jnp.arange(E, dtype=jnp.int32)
     max_g = -(-(-(-n_cols // WIN)) // wg)
@@ -208,15 +221,21 @@ def _twell_build(cols, vals, row_nnz, n_rows, n_cols, n_tiles, slots, wg,
     copy = k // slots
     k_in = k % slots
 
-    # piece enumeration: lexicographic (rt·max_g + g, copy)
-    rg_p, copy_p, porder = jax.lax.sort((key_rg, copy, iota), num_keys=2)
+    # piece enumeration: lexicographic (rt·max_g + g, copy) over the
+    # entries PLUS one per-tile anchor key (enumeration only — no scatter)
+    anchors = _tile_anchor_keys(key_rg, rt, valid, n_tiles, max_g)
+    comb_rg = jnp.concatenate([key_rg, anchors])
+    comb_copy = jnp.concatenate([copy, jnp.zeros((n_tiles,), copy.dtype)])
+    comb_iota = jnp.arange(E + n_tiles, dtype=jnp.int32)
+    rg_p, copy_p, porder = jax.lax.sort((comb_rg, comb_copy, comb_iota),
+                                        num_keys=2)
     p_first = jnp.concatenate(
         [jnp.ones((1,), bool),
          (rg_p[1:] != rg_p[:-1]) | (copy_p[1:] != copy_p[:-1])]
     ) & (rg_p < _IMAX)
     pid_s = jnp.cumsum(p_first) - 1  # piece index, sorted = (rt, g, copy) lex
-    entry_piece = jnp.full((E,), t_pad, jnp.int32).at[porder].set(
-        jnp.where(rg_p < _IMAX, pid_s, t_pad))
+    entry_piece = jnp.full((E + n_tiles,), t_pad, jnp.int32).at[porder].set(
+        jnp.where(rg_p < _IMAX, pid_s, t_pad))[:E]
     n_pieces = jnp.sum(p_first)
 
     # per-piece tables; dummy (padding) pieces: rt = last tile, g = 0 —

@@ -182,10 +182,13 @@ _IMAX32 = np.iinfo(np.int32).max
 
 
 def _plan_entries(cols, vals, row_nnz, n_rows, n_tiles, max_w):
-    """Per-entry (pkey, k, lane, liw, v, n_entries); plus n_tiles synthetic
-    piece keys (rt, window 0) appended to the KEY STREAM ONLY so every row
-    tile owns ≥1 piece — they join piece enumeration but never the plane
-    scatter (a scattered dummy could collide with a real rank-0 entry)."""
+    """Per-entry (pkey, k, lane, liw, v); plus n_tiles synthetic piece keys
+    appended to the KEY STREAM ONLY so every row tile owns ≥1 piece — they
+    join piece enumeration but never the plane scatter (a scattered dummy
+    could collide with a real rank-0 entry).  Each anchor sits at its
+    tile's MINIMUM real window so it MERGES with an existing piece; a
+    fixed window-0 anchor minted a junk piece per tile (same fix as
+    ops/format_device._tile_anchor_keys)."""
     W = cols.shape[1]
     r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 0)
     k = jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 1)
@@ -195,7 +198,11 @@ def _plan_entries(cols, vals, row_nnz, n_rows, n_tiles, max_w):
     w = cols.astype(jnp.int32) // WIN
     liw = cols.astype(jnp.int32) % WIN
     pkey = jnp.where(valid, rt * max_w + w, _IMAX32).reshape(-1)
-    tile_keys = jnp.arange(n_tiles, dtype=jnp.int32) * max_w
+    m_w = jax.ops.segment_min(
+        jnp.where(valid, w, max_w).reshape(-1), rt.reshape(-1),
+        num_segments=n_tiles)
+    m_w = jnp.where(m_w >= max_w, 0, m_w)  # empty tile → window 0
+    tile_keys = jnp.arange(n_tiles, dtype=jnp.int32) * max_w + m_w
     return (jnp.concatenate([pkey, tile_keys]), k.reshape(-1),
             lane.reshape(-1), liw.reshape(-1), vals.reshape(-1))
 
@@ -253,12 +260,20 @@ def _plan_bucket(t: int) -> int:
     return -(-t // step) * step
 
 
-def _gather_kernel(ct_ref, rt_ref, first_ref, last_ref,
+def _gather_kernel(ct_ref, rt_ref,
                    bc_ref, bv_ref, idx_ref, av_ref,
                    oc_ref, ov_ref, accc_ref, accv_ref, *, Wa, Wb, sent):
+    # first/last derived from the rowtile table — 2 scalar-prefetch tables
+    # instead of 4 (the 4-table layout exceeded the 1 MB SMEM at the L1
+    # RS-1024² plan, T=66 679; same fix as BTWELL's kernel)
     t = pl.program_id(0)
+    nT = pl.num_programs(0)
+    rt_prev = rt_ref[jnp.maximum(t - 1, 0)]
+    rt_next = rt_ref[jnp.minimum(t + 1, nT - 1)]
+    is_first = (t == 0) | (rt_prev != rt_ref[t])
+    is_last = (t == nT - 1) | (rt_next != rt_ref[t])
 
-    @pl.when(first_ref[t] == 1)
+    @pl.when(is_first)
     def _():
         accc_ref[...] = jnp.full_like(accc_ref, sent)
         accv_ref[...] = jnp.zeros_like(accv_ref)
@@ -281,7 +296,7 @@ def _gather_kernel(ct_ref, rt_ref, first_ref, last_ref,
             accv_ref[sl, :] = accv_ref[sl, :] + jnp.where(
                 o, av[k0:k0 + kk] * gv, 0.0)
 
-    @pl.when(last_ref[t] == 1)
+    @pl.when(is_last)
     def _():
         oc_ref[...] = accc_ref[...][None]
         ov_ref[...] = accv_ref[...][None]
@@ -309,12 +324,12 @@ def gather_candidates(plan: GatherSpgemmPlan, B: ELL):
     bv_rep = jnp.broadcast_to(bv.T[:, None, :], (Wb, 8, npc))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((Wb, 8, WIN), lambda t, ct, rt, f, l: (0, 0, ct[t]),
+            pl.BlockSpec((Wb, 8, WIN), lambda t, ct, rt: (0, 0, ct[t]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Wb, 8, WIN), lambda t, ct, rt, f, l: (0, 0, ct[t]),
+            pl.BlockSpec((Wb, 8, WIN), lambda t, ct, rt: (0, 0, ct[t]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Wa, R_TILE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -323,10 +338,10 @@ def gather_candidates(plan: GatherSpgemmPlan, B: ELL):
         ],
         out_specs=[
             pl.BlockSpec((1, K, R_TILE),
-                         lambda t, ct, rt, f, l: (rt[t], 0, 0),
+                         lambda t, ct, rt: (rt[t], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, R_TILE),
-                         lambda t, ct, rt, f, l: (rt[t], 0, 0),
+                         lambda t, ct, rt: (rt[t], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((K, R_TILE), jnp.int32),
@@ -340,8 +355,7 @@ def gather_candidates(plan: GatherSpgemmPlan, B: ELL):
             jax.ShapeDtypeStruct((plan.n_tiles, K, R_TILE), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(plan.coltile, plan.rowtile, plan.first, plan.last,
-      bc_rep, bv_rep, plan.idx, plan.vals)
+    )(plan.coltile, plan.rowtile, bc_rep, bv_rep, plan.idx, plan.vals)
 
     # rank-major piece planes → (R, K) row-major candidates: ONE transpose
     cand_c = oc.transpose(0, 2, 1).reshape(plan.n_tiles * R_TILE, K)
