@@ -466,10 +466,16 @@ def bench_anisotropic(nx=1024, epsilon=1e-3):
     log(f"  setup {setup_s}s levels {[l.A.n_rows for l in h.levels]}")
     from parallel_amg_tpu.amg.hierarchy import with_best_formats
 
+    # HOST conversion here: the anisotropic hierarchy has 8 semi-coarsened
+    # levels = ~24 operand shapes, and the device converter's fresh compile
+    # wave through the remote tunnel blew the 600 s stage cap twice even
+    # with a cached hierarchy (round-5 rehearsal).  The device converter's
+    # evidence row is the RS stage (measured every run); this stage's job
+    # is config #4's convergence numbers, and at ≤512² the host build is a
+    # deterministic ~25 s.
     t0 = time.perf_counter()
-    h_fast = with_best_formats(h, "tpu", device=True)
-    log(f"  solve-format conversion {time.perf_counter() - t0:.1f}s "
-        f"(on device)")
+    h_fast = with_best_formats(h, "tpu")
+    log(f"  solve-format conversion {time.perf_counter() - t0:.1f}s (host)")
     b64 = np.random.default_rng(0).normal(size=n)
     b = jnp.asarray(b64, jnp.float32)
     t_cycle = marginal_time(lambda x, hh, bb: pat.vcycle(hh, x, bb),
@@ -556,13 +562,13 @@ def _stage_entry(stage: str, nx: int | None = None):
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(CACHE_DIR, "xla"))
-    # Cache only BIG executables (≥5 s compiles: the SA/BSR/solver
-    # programs).  A threshold-0 cache flooded the dir with thousands of
-    # tiny eager-op entries whose HITS each pay a slow tunnel RPC — the
-    # RS stage (thousands of eager ops) then crawls at ~0 CPU and looks
-    # wedged (measured: fresh-empty-cache RS-1024² setup 357 s; populated
-    # tiny-entry cache >900 s with no progress).
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # Cache every executable that takes ≥1 s to compile.  (A threshold-0
+    # cache once flooded the dir with thousands of tiny EAGER-op entries
+    # whose hits each pay a slow tunnel RPC — but the eager setup path is
+    # gone; the fused drivers emit ~21 programs per setup, and at the old
+    # 5 s threshold the 1-4 s small-level programs recompiled in EVERY
+    # fresh bench process, ~10 s/run of avoidable compiles.)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     dev = jax.devices()[0]
     log("stage", stage, "device:", dev, "platform:", dev.platform)
     if stage == "core":

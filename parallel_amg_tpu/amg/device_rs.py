@@ -530,21 +530,41 @@ def _pairwise_chunk(K: int, budget_bytes: int = 1 << 28) -> int:
     return max(min(4096, budget_bytes // max(K * K * 5, 1)), 16)
 
 
-# gather_spgemm pays ~8 extra tunnel dispatches + plan programs per level;
-# its 8.7×/5.2× product speedups (docs/SPGEMM.md) amortize that only on
-# large operands.  262144 rows ≈ the 512² operand where the measured win is
-# already ~5× (20 ms saved ≫ dispatch cost on any local deployment and ≈
-# break-even through the 27 ms tunnel).
+# gather_spgemm pays ~8 extra program dispatches + plan builds per level;
+# its 8.7×/5.2× product speedups (docs/SPGEMM.md) amortize that only when
+# dispatch is cheap.  Measured A/B at RS-1024² (artifacts/
+# rs_setup_engines.json): through the remote-compile tunnel the gather
+# path LOSES 6.7 s warm (program-load + dispatch ≫ the ~0.7 s of product
+# savings), so auto mode keys on a one-time measured dispatch latency —
+# exactly the "pays off when dispatch is local" policy docs/SPGEMM.md
+# stated.  262144 rows ≈ the 512² operand where the product win is ~5×.
 _GATHER_MIN_ROWS = 262144
-# Remote-tunnel guard: the gather-pipeline kernel compile at the 2^20-row
-# (1024² level-0) operand WEDGES the axon remote compiler reproducibly
-# (tcp_recvmsg block, 3/3 attempts, 2026-08-21) while the identical
-# kernels compile and run at the 2^18-row operand (anisotropic-512² stage,
-# same session).  Auto mode therefore caps at 2^19 rows here; local
-# deployments lift the cap with PAT_RS_SPGEMM=gather (the kernels
-# themselves are proven at 1024² operands — scripts/bench_spgemm.py
-# measured 8.7× there in round 4 with host-built plans).
-_GATHER_MAX_ROWS = 1 << 19
+_DISPATCH_LOCAL_THRESHOLD_S = 5e-3
+_dispatch_local: bool | None = None
+
+
+def _dispatch_is_local() -> bool:
+    """One-time probe: median wall time of a trivial dispatch+fetch.
+
+    ~0.1-1 ms on a locally attached chip; ~30-60 ms through the axon
+    remote tunnel (whose remote compiler also reproducibly WEDGES on the
+    2^20-row gather-kernel compile — tcp_recvmsg block, 3/3 attempts
+    2026-08-21 — so tunnel deployments must not auto-select gather even
+    if the latency were acceptable)."""
+    global _dispatch_local
+    if _dispatch_local is None:
+        import time as _t
+
+        ts = []
+        x = jnp.zeros((8,), jnp.float32)
+        f = jax.jit(lambda v: v + 1.0)
+        float(f(x)[0])  # compile outside the timed window
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            float(f(x)[0])
+            ts.append(_t.perf_counter() - t0)
+        _dispatch_local = sorted(ts)[1] < _DISPATCH_LOCAL_THRESHOLD_S
+    return _dispatch_local
 
 
 def _spgemm_engine(n_rows: int) -> bool:
@@ -554,7 +574,7 @@ def _spgemm_engine(n_rows: int) -> bool:
         return True
     if mode == "pairwise":
         return False
-    return _GATHER_MIN_ROWS <= n_rows < _GATHER_MAX_ROWS
+    return n_rows >= _GATHER_MIN_ROWS and _dispatch_is_local()
 
 
 def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,

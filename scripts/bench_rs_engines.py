@@ -54,7 +54,10 @@ print(json.dumps({
 def main():
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     rows = []
-    for engine in ("pairwise", "gather"):
+    # "auto" = the production policy (gather on [2^18, 2^19)-row levels);
+    # PAT_RS_SPGEMM=gather forced at EVERY level wedges the remote
+    # compiler on the 2^20-row kernel (see device_rs._GATHER_MAX_ROWS)
+    for engine in ("pairwise", "auto"):
         env = dict(os.environ)
         env["PAT_RS_SPGEMM"] = engine
         t0 = time.perf_counter()

@@ -20,13 +20,15 @@ nx = int(sys.argv[1])
 cfg = pat.AMGConfig(coarsening="rs", smoother="chebyshev", n_coarse_max=256,
                     on_device_setup=True, interpolation="extended_i")
 csr = poisson2d(nx).to_csr()
-t0 = time.perf_counter()
-h = pat.setup(csr, cfg)
-jax.block_until_ready(h.coarse_inv)
-dt = time.perf_counter() - t0
-print(f"RS {nx}^2 fused fresh setup: {dt:.1f}s levels "
-      f"{[l.A.n_rows for l in h.levels]} widths "
-      f"{[l.A.cols.shape[1] for l in h.levels]}", flush=True)
+runs = 2 if "--twice" in sys.argv else 1
+for run in range(runs):
+    t0 = time.perf_counter()
+    h = pat.setup(csr, cfg)
+    jax.block_until_ready(h.coarse_inv)
+    dt = time.perf_counter() - t0
+    print(f"RS {nx}^2 fused fresh setup (run {run + 1}): {dt:.1f}s levels "
+          f"{[l.A.n_rows for l in h.levels]} widths "
+          f"{[l.A.cols.shape[1] for l in h.levels]}", flush=True)
 if "--solve" in sys.argv:
     n = nx * nx
     b = jnp.asarray(np.random.default_rng(0).normal(size=n), jnp.float32)
