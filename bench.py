@@ -344,8 +344,15 @@ def bench_amg_rs(nx=1024, degraded=False):
     # 1b/4): the fused per-level driver (amg/device_rs.py
     # device_rs_setup_fused) replaces the per-op tunnel dispatch that made
     # this unmeasurable — 65 s warm-compile-cache / ~315 s cold at 1024² on
-    # the tunnel TPU.  The pickle cache remains only as input to the
-    # solve-format conversion below.
+    # the tunnel TPU.  With a recorded SHAPE SCHEDULE (a few dozen ints of
+    # level-width metadata, ~/.cache/parallel_amg_tpu — NO numerical data;
+    # every FLOP still executes fresh and the recorded widths are verified
+    # against the run's own counters) the driver dispatches all per-level
+    # programs asynchronously instead of serializing on width readbacks.
+    # setup_s therefore reports schedule-warm time once the schedule
+    # exists; first-contact time is the level-serialized number above.
+    # The pickle cache remains only as input to the solve-format
+    # conversion below.
     log(f"on-device RS setup 2D Poisson {nx}^2 (fused driver) ...")
     t0 = time.perf_counter()
     h = pat.setup(coo.to_csr(), cfg)
@@ -353,7 +360,9 @@ def bench_amg_rs(nx=1024, degraded=False):
     # pseudo-inverse, so the pipeline is synchronized at return
     jax.block_until_ready(h.coarse_inv)
     setup_s = time.perf_counter() - t0
-    log(f"  fresh setup_s={setup_s:.1f}")
+    from parallel_amg_tpu.amg import device_rs as _drs
+    setup_path = _drs.LAST_SETUP_PATH
+    log(f"  fresh setup_s={setup_s:.1f} ({setup_path})")
     save_hierarchy(cache, h)
     n = h.levels[0].A.n_rows
     log(f"  setup {setup_s}s levels {[l.A.n_rows for l in h.levels]}")
@@ -388,6 +397,7 @@ def bench_amg_rs(nx=1024, degraded=False):
         "nx": nx,
         "degraded": degraded,
         "setup_s": setup_s,
+        "setup_path": setup_path,
         "conversion_s": conversion_s,
         "vcycle_s": t_cycle,
         "cg_iters_1e-6": int(res.iters),

@@ -21,6 +21,9 @@ setup/solve split as the structured path.
 
 from __future__ import annotations
 
+import functools
+import hashlib
+import json
 import os
 from typing import List
 
@@ -39,6 +42,11 @@ from parallel_amg_tpu.ops.ell_setup import (
 )
 
 UNDECIDED, FINE, COARSE = 0, 1, 2
+
+# which path the most recent device_rs_setup_fused call took —
+# "scheduled" (async shape-schedule replay) or "level-serialized";
+# reporting tools (bench.py) record it next to setup_s
+LAST_SETUP_PATH = "level-serialized"
 
 
 def classical_strength_mask(A: ELL, theta: float):
@@ -435,6 +443,162 @@ def _ell_topk(P: ELL, p_max: int) -> ELL:
                jnp.sum(kept, axis=1).astype(jnp.int32), P.shape)
 
 
+# ---------------------------------------------------------------------------
+# Fused-driver program factories (module-level, lru_cached)
+#
+# The fused driver used to build its jitted programs as fresh closures on
+# every call: each setup re-traced every program even when the shapes were
+# identical (an in-process rerun paid the full ~5 s of tracing again), and
+# the scheduled fast path below could not share executables with the
+# level-serialized path.  Factories keyed on the true statics fix both.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _plast_prog(n, want_cheb, power_iters, seed):
+    @jax.jit
+    def p_last(cols, vals, row_nnz):
+        A = ELL(cols, vals, row_nnz, (n, n))
+        diag = A.diagonal()
+        d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+        lam = (_ell_lambda_max(A, d_inv, power_iters, seed) if want_cheb
+               else jnp.asarray(0.0, vals.dtype))
+        return d_inv, lam
+
+    return p_last
+
+
+@functools.lru_cache(maxsize=256)
+def _p1_prog(n, theta, want_cheb, power_iters, seed, seed_lvl):
+    @jax.jit
+    def p1(cols, vals, row_nnz):
+        A = ELL(cols, vals, row_nnz, (n, n))
+        diag = A.diagonal()
+        d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+        lam = (_ell_lambda_max(A, d_inv, power_iters, seed)
+               if want_cheb else jnp.asarray(0.0, vals.dtype))
+        S = classical_strength_mask(A, theta)
+        state = pmis_split_device(A, S, seed=seed_lvl)
+        st_j = jnp.take(state, cols, axis=0)
+        strong_c = S & (st_j == COARSE)
+        strong_f = S & (st_j != COARSE)
+        counts = jnp.stack([
+            jnp.sum((state == COARSE).astype(jnp.int32)),
+            jnp.max(jnp.sum(strong_c.astype(jnp.int32), axis=1)),
+            jnp.max(jnp.sum(strong_f.astype(jnp.int32), axis=1)),
+        ])
+        return d_inv, lam, S, state, counts
+
+    return p1
+
+
+@functools.lru_cache(maxsize=256)
+def _p2_prog(n, nc, c_max, f_max, p_max, use_gather):
+    @jax.jit
+    def p2(cols, vals, row_nnz, S, state):
+        W = cols.shape[1]
+        A = ELL(cols, vals, row_nnz, (n, n))
+        P = extended_i_interpolation_device(
+            A, S, state, p_max, static_widths=(c_max, f_max, nc))
+        if use_gather:
+            AP = None
+        else:
+            Kap = W * P.cols.shape[1]
+            AP = ell_spgemm_pairwise(A, P, out_width=Kap,
+                                     row_chunk=_pairwise_chunk(Kap),
+                                     strict=False)
+        pm = P.mask()
+        t_counts = jax.ops.segment_sum(
+            pm.astype(jnp.int32).reshape(-1),
+            jnp.where(pm, P.cols, nc).reshape(-1),
+            num_segments=nc + 1)[:nc]
+        widths = jnp.stack([
+            jnp.max(AP.row_nnz) if AP is not None else jnp.int32(0),
+            jnp.maximum(jnp.max(t_counts), 1)])
+        return P, AP, widths
+
+    return p2
+
+
+@functools.lru_cache(maxsize=256)
+def _p3_prog(n, nc, t_w, K3):
+    @jax.jit
+    def p3(Pc, Pv, Pn, APc, APv, APn):
+        Pe = ELL(Pc, Pv, Pn, (n, nc))
+        APe = ELL(APc, APv, APn, (n, nc))
+        R = ell_transpose(Pe, out_width=t_w)
+        Ac = ell_spgemm_pairwise(R, APe, out_width=K3,
+                                 row_chunk=_pairwise_chunk(K3),
+                                 strict=False)
+        Ac = ell_prune(Ac, tol=0.0, out_width=K3)
+        return R, Ac, jnp.maximum(jnp.max(Ac.row_nnz), 1)
+
+    return p3
+
+
+# ---------------------------------------------------------------------------
+# Shape-schedule cache
+#
+# For a fixed (matrix, config, seed) the per-level static widths the fused
+# driver reads back — (nc, c_max, f_max) after P1, (ap_w, t_w) after P2,
+# w_c after P3 — are deterministic.  Each readback is a full pipeline
+# barrier: Python blocks until the level EXECUTES before it can even trace
+# the next program, so a fresh 1024² setup serializes ~19 programs' worth
+# of trace + executable-load + execute through a 27 ms-RTT tunnel.
+#
+# The schedule cache records those few dozen ints (shape metadata only —
+# NO numerical data) keyed by a content hash of the matrix.  With a
+# schedule, the driver dispatches every level's programs asynchronously
+# (tracing level k+1 overlaps executing level k), then fetches the
+# recorded counters once at the end and VERIFIES them against the
+# schedule; any mismatch discards the run and rebuilds level-by-level, so
+# a stale or colliding schedule costs time, never correctness.
+# ---------------------------------------------------------------------------
+
+
+def _schedule_dir() -> str:
+    d = os.environ.get("PAT_RS_SCHEDULE_DIR")
+    if not d:
+        d = os.path.join(os.path.expanduser("~"), ".cache",
+                         "parallel_amg_tpu", "rs_schedules")
+    return d
+
+
+def _schedule_load(key: str):
+    try:
+        with open(os.path.join(_schedule_dir(), key + ".json")) as f:
+            sched = json.load(f)
+        return sched if isinstance(sched, list) and sched else None
+    except (OSError, ValueError):
+        return None
+
+
+def _schedule_save(key: str, sched) -> None:
+    try:
+        d = _schedule_dir()
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, key + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(sched, f)
+        os.replace(tmp, os.path.join(d, key + ".json"))
+    except OSError:
+        pass  # cache is best-effort
+
+
+def _fingerprint(parts, config: AMGConfig, seed: int) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    for p in parts:
+        a = np.ascontiguousarray(p)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    h.update(repr((config.theta, config.p_max, config.n_coarse_max,
+                   config.max_levels, config.interpolation,
+                   config.smoother, config.lambda_power_iters,
+                   seed)).encode())
+    return h.hexdigest()
+
+
 def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
                     seed: int = 0, fused: bool | str = "auto") -> Hierarchy:
     """On-device classical-AMG setup from a device ELL (or host CSR).
@@ -450,6 +614,7 @@ def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
     """
     from parallel_amg_tpu.ops.csr import CSR
 
+    schedule_key = None
     if isinstance(A, ELL):
         A_ell = A
     else:
@@ -457,13 +622,20 @@ def device_rs_setup(A, config: AMGConfig, dtype=jnp.float32,
             A.to_csr().to_scipy() if hasattr(A, "to_csr") else A
         )
         A_ell = ELL.from_csr(csr, dtype=dtype)
+        # host data is in hand — fingerprint it for the shape-schedule
+        # cache (~100 ms of hashing vs the level-serialized readbacks it
+        # saves; ELL device inputs skip the key rather than pull planes
+        # back through the tunnel)
+        schedule_key = _fingerprint(
+            (csr.indptr, csr.indices, csr.data), config, seed)
     if fused == "auto":
         fused = (config.interpolation == "extended_i"
                  and jax.default_backend() == "tpu")
     if fused:
         if config.interpolation != "extended_i":
             raise ValueError("fused RS setup implements extended_i only")
-        return device_rs_setup_fused(A_ell, config, seed=seed)
+        return device_rs_setup_fused(A_ell, config, seed=seed,
+                                     schedule_key=schedule_key)
 
     import os as _os
     import sys as _sys
@@ -577,15 +749,92 @@ def _spgemm_engine(n_rows: int) -> bool:
     return n_rows >= _GATHER_MIN_ROWS and _dispatch_is_local()
 
 
-def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,
-                          seed: int = 0) -> Hierarchy:
+def _rs_finish(levels: List[Level], config: AMGConfig) -> Hierarchy:
+    from parallel_amg_tpu.amg.hierarchy import coarse_inverse_np
+
+    coarse_inv = jnp.asarray(
+        coarse_inverse_np(np.asarray(
+            levels[-1].A.to_csr().to_dense(), np.float64)),
+        jnp.float32,
+    )
+    return Hierarchy(levels, coarse_inv, config)
+
+
+def _rs_scheduled(A_ell: ELL, config: AMGConfig, seed: int, sched,
+                  _log) -> Hierarchy | None:
+    """Replay a recorded shape schedule with zero intermediate syncs.
+
+    Dispatches every level's P1/P2/P3 back-to-back (jax dispatch is
+    async: tracing level k+1 overlaps executing level k on device), then
+    fetches the recorded width counters ONCE at the end and verifies them
+    entry-by-entry against the schedule.  Returns None on any mismatch —
+    the caller rebuilds level-serialized, so a stale schedule can cost
+    time but never correctness.
+    """
+    want_cheb = config.smoother == "chebyshev"
+    levels: List[Level] = []
+    checks = []  # (device array, expected tuple)
+    for i, e in enumerate(sched):
+        n, W = int(e["n"]), int(e["W"])
+        if A_ell.n_rows != n or A_ell.cols.shape[1] != W:
+            return None
+        if e.get("last"):
+            if i != len(sched) - 1:
+                return None
+            d_inv, lam = _plast_prog(
+                n, want_cheb, config.lambda_power_iters, seed)(
+                A_ell.cols, A_ell.vals, A_ell.row_nnz)
+            levels.append(Level(A_ell, None, None, d_inv, lam))
+            break
+        if e.get("gather"):
+            return None  # gather plans need per-level readbacks
+        nc, c_max, f_max = int(e["nc"]), int(e["c_max"]), int(e["f_max"])
+        ap_w, t_w, w_c = int(e["ap_w"]), int(e["t_w"]), int(e["w_c"])
+        if not (0 < nc < n and min(c_max, f_max, ap_w, t_w, w_c) >= 1):
+            return None
+        d_inv, lam, S, state, counts = _p1_prog(
+            n, config.theta, want_cheb, config.lambda_power_iters,
+            seed, seed + i)(A_ell.cols, A_ell.vals, A_ell.row_nnz)
+        checks.append((counts, (nc, c_max, f_max)))
+        P, AP, w2 = _p2_prog(n, nc, c_max, f_max, config.p_max, False)(
+            A_ell.cols, A_ell.vals, A_ell.row_nnz, S, state)
+        checks.append((w2, (ap_w, t_w)))
+        AP = ELL(AP.cols[:, :ap_w], AP.vals[:, :ap_w], AP.row_nnz, AP.shape)
+        K3 = t_w * ap_w
+        R, Ac, wc_arr = _p3_prog(n, nc, t_w, K3)(
+            P.cols, P.vals, P.row_nnz, AP.cols, AP.vals, AP.row_nnz)
+        checks.append((wc_arr, (w_c,)))
+        levels.append(Level(A_ell, P, R, d_inv, lam))
+        A_ell = ELL(Ac.cols[:, :w_c], Ac.vals[:, :w_c], Ac.row_nnz,
+                    (nc, nc))
+    else:
+        return None  # schedule never reached a last level
+    _log(f"scheduled dispatch done ({len(levels)} levels); verifying")
+    for got_arr, exp in checks:
+        got = tuple(int(v) for v in
+                    np.asarray(got_arr).reshape(-1)[:len(exp)])
+        if got != exp:
+            _log(f"schedule VERIFY FAILED: recorded {exp} actual {got}")
+            return None
+    _log("schedule verified")
+    return _rs_finish(levels, config)
+
+
+def device_rs_setup_fused(A_ell: ELL, config: AMGConfig, seed: int = 0,
+                          schedule_key: str | None = None) -> Hierarchy:
     """Fused on-device RS setup: O(1) jitted programs per level.
 
     The eager driver dispatches thousands of individual XLA ops per level;
     behind the remote-TPU tunnel each dispatch pays ~27 ms RTT, so a fresh
     1024² setup measured 255 s against ~1.5 s of arithmetic (docs/SPGEMM.md).
     This driver traces each level into three programs, separated only by
-    the host readbacks that static shapes genuinely require:
+    the host readbacks that static shapes genuinely require — and when a
+    recorded shape schedule exists for (matrix, config, seed)
+    (``schedule_key``, see ``_rs_scheduled``), it skips even those:
+    every program is dispatched asynchronously and the recorded widths
+    are verified against the program outputs once at the end, falling
+    back to the level-serialized pass here on any mismatch.  The
+    level-serialized readbacks are:
 
       P1  strength → PMIS → (d⁻¹, λ_max) + counts   → read (nc, c_max, f_max)
       P2  extended+i P (static tables) + A·P at full
@@ -621,85 +870,57 @@ def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,
             print(f"[rs-fused +{_time.perf_counter() - _t0:.1f}s] {msg}",
                   file=_sys.stderr, flush=True)
 
+    global LAST_SETUP_PATH
+    LAST_SETUP_PATH = "level-serialized"
+    if schedule_key is not None:
+        sched = _schedule_load(schedule_key)
+        if sched is not None:
+            _log(f"shape schedule hit ({len(sched)} levels) — "
+                 "async dispatch")
+            h = _rs_scheduled(A_ell, config, seed, sched, _log)
+            if h is not None:
+                LAST_SETUP_PATH = "scheduled"
+                return h
+            _log("schedule replay failed — rebuilding level-serialized")
+
     levels: List[Level] = []
+    sched_out = []
     want_cheb = config.smoother == "chebyshev"
 
     for lvl in range(config.max_levels):
         n = A_ell.n_rows
         W = A_ell.cols.shape[1]
-        dt = A_ell.vals.dtype
         is_last = n <= config.n_coarse_max or lvl == config.max_levels - 1
         _log(f"level {lvl}: n={n} W={W} last={is_last}")
 
         if is_last:
-            @jax.jit
-            def p_last(cols, vals, row_nnz, n=n):
-                A = ELL(cols, vals, row_nnz, (n, n))
-                diag = A.diagonal()
-                d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
-                lam = (_ell_lambda_max(A, d_inv, config.lambda_power_iters,
-                                       seed) if want_cheb
-                       else jnp.asarray(0.0, dt))
-                return d_inv, lam
-
-            d_inv, lam = p_last(A_ell.cols, A_ell.vals, A_ell.row_nnz)
+            d_inv, lam = _plast_prog(
+                n, want_cheb, config.lambda_power_iters, seed)(
+                A_ell.cols, A_ell.vals, A_ell.row_nnz)
             levels.append(Level(A_ell, None, None, d_inv, lam))
+            sched_out.append({"n": n, "W": W, "last": True})
             break
 
-        @jax.jit
-        def p1(cols, vals, row_nnz, n=n, lvl=lvl):
-            A = ELL(cols, vals, row_nnz, (n, n))
-            diag = A.diagonal()
-            d_inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
-            lam = (_ell_lambda_max(A, d_inv, config.lambda_power_iters, seed)
-                   if want_cheb else jnp.asarray(0.0, dt))
-            S = classical_strength_mask(A, config.theta)
-            state = pmis_split_device(A, S, seed=seed + lvl)
-            st_j = jnp.take(state, cols, axis=0)
-            strong_c = S & (st_j == COARSE)
-            strong_f = S & (st_j != COARSE)
-            counts = jnp.stack([
-                jnp.sum((state == COARSE).astype(jnp.int32)),
-                jnp.max(jnp.sum(strong_c.astype(jnp.int32), axis=1)),
-                jnp.max(jnp.sum(strong_f.astype(jnp.int32), axis=1)),
-            ])
-            return d_inv, lam, S, state, counts
-
-        d_inv, lam, S, state, counts = p1(A_ell.cols, A_ell.vals,
-                                          A_ell.row_nnz)
+        d_inv, lam, S, state, counts = _p1_prog(
+            n, config.theta, want_cheb, config.lambda_power_iters,
+            seed, seed + lvl)(A_ell.cols, A_ell.vals, A_ell.row_nnz)
         nc, c_max, f_max = (int(v) for v in np.asarray(counts))
         _log(f"  p1 done (nc={nc} c_max={c_max} f_max={f_max})")
         if nc >= n or nc == 0:
             levels.append(Level(A_ell, None, None, d_inv, lam))
+            # the scheduled replay treats this break as a plain last level
+            # (_plast_prog recomputes the same d_inv/λ from A alone)
+            sched_out.append({"n": n, "W": W, "last": True})
             break
 
         use_gather = _spgemm_engine(n)
+        entry = {"n": n, "W": W, "last": False, "gather": use_gather,
+                 "nc": nc, "c_max": c_max, "f_max": f_max}
+        sched_out.append(entry)
 
-        @jax.jit
-        def p2(cols, vals, row_nnz, S, state, n=n, nc=nc, c_max=c_max,
-               f_max=f_max, W=W, use_gather=use_gather):
-            A = ELL(cols, vals, row_nnz, (n, n))
-            P = extended_i_interpolation_device(
-                A, S, state, config.p_max,
-                static_widths=(c_max, f_max, nc))
-            if use_gather:
-                AP = None
-            else:
-                Kap = W * P.cols.shape[1]
-                AP = ell_spgemm_pairwise(A, P, out_width=Kap,
-                                         row_chunk=_pairwise_chunk(Kap),
-                                         strict=False)
-            pm = P.mask()
-            t_counts = jax.ops.segment_sum(
-                pm.astype(jnp.int32).reshape(-1),
-                jnp.where(pm, P.cols, nc).reshape(-1),
-                num_segments=nc + 1)[:nc]
-            widths = jnp.stack([
-                jnp.max(AP.row_nnz) if AP is not None else jnp.int32(0),
-                jnp.maximum(jnp.max(t_counts), 1)])
-            return P, AP, widths
-
-        P, AP, w2 = p2(A_ell.cols, A_ell.vals, A_ell.row_nnz, S, state)
+        P, AP, w2 = _p2_prog(n, nc, c_max, f_max, config.p_max,
+                             use_gather)(
+            A_ell.cols, A_ell.vals, A_ell.row_nnz, S, state)
         ap_w, t_w = (int(v) for v in np.asarray(w2))
         if use_gather:
             from parallel_amg_tpu.ops.gspgemm import (
@@ -763,33 +984,19 @@ def device_rs_setup_fused(A_ell: ELL, config: AMGConfig,
             w_c = int(w_c)
             _log(f"  p3 done (gather R·AP: T={plan_r.n_pieces} w_c={w_c})")
         else:
-            @jax.jit
-            def p3(Pc, Pv, Pn, APc, APv, APn, n=n, nc=nc, t_w=t_w, K3=K3):
-                Pe = ELL(Pc, Pv, Pn, (n, nc))
-                APe = ELL(APc, APv, APn, (n, nc))
-                R = ell_transpose(Pe, out_width=t_w)
-                Ac = ell_spgemm_pairwise(R, APe, out_width=K3,
-                                         row_chunk=_pairwise_chunk(K3),
-                                         strict=False)
-                Ac = ell_prune(Ac, tol=0.0, out_width=K3)
-                return R, Ac, jnp.maximum(jnp.max(Ac.row_nnz), 1)
-
-            R, Ac, w_c = p3(P.cols, P.vals, P.row_nnz,
-                            AP.cols, AP.vals, AP.row_nnz)
+            R, Ac, w_c = _p3_prog(n, nc, t_w, K3)(
+                P.cols, P.vals, P.row_nnz,
+                AP.cols, AP.vals, AP.row_nnz)
             w_c = int(w_c)
             _log(f"  p3 done (w_c={w_c})")
+        entry.update({"ap_w": ap_w, "t_w": t_w, "w_c": w_c})
         levels.append(Level(A_ell, P, R, d_inv, lam))
         A_ell = ELL(Ac.cols[:, :w_c], Ac.vals[:, :w_c], Ac.row_nnz,
                     (nc, nc))
 
-    from parallel_amg_tpu.amg.hierarchy import coarse_inverse_np
-
-    coarse_inv = jnp.asarray(
-        coarse_inverse_np(np.asarray(
-            levels[-1].A.to_csr().to_dense(), np.float64)),
-        jnp.float32,
-    )
-    return Hierarchy(levels, coarse_inv, config)
+    if schedule_key is not None and sched_out and sched_out[-1].get("last"):
+        _schedule_save(schedule_key, sched_out)
+    return _rs_finish(levels, config)
 
 
 def _ell_lambda_max(A: ELL, d_inv, iters: int, seed: int = 0):

@@ -34,10 +34,32 @@ def _rank_within_groups(sorted_keys):
     return idx - group_start
 
 
-def ell_transpose(ell: ELL, out_width: int | None = None) -> ELL:
+# Row-count ceiling for the single-shot transpose: programs containing a
+# global sort/scatter over a 2^20-row operand reproducibly WEDGE the
+# remote-tunnel XLA compiler (observed rounds 4-5: standalone 1M-row
+# ell_transpose 3/3, and this round the fused RS driver's L0 P3 at 1024²
+# stalled >25 min while a fresh small program compiled in 1.8 s —
+# docs/RS_SETUP.md).  Above the ceiling the transpose runs in row chunks
+# inside a fori_loop: same entry ordering (chunks are ascending row
+# ranges, stable within), so the output is bitwise identical.
+_TRANSPOSE_CHUNK_ROWS = 1 << 19
+
+
+def ell_transpose(ell: ELL, out_width: int | None = None,
+                  row_chunk: int | None = None) -> ELL:
     """Aᵀ in ELL, on device (one host sync for the output width)."""
     R, W = ell.cols.shape
     n_rows, n_cols = ell.shape
+    if row_chunk is None:
+        row_chunk = _TRANSPOSE_CHUNK_ROWS
+    if out_width is None:
+        col_counts = jax.ops.segment_sum(
+            ell.mask().astype(jnp.int32).reshape(-1),
+            ell.cols.reshape(-1), num_segments=n_cols
+        )
+        out_width = max(int(jnp.max(col_counts)), 1)  # host sync
+    if R > row_chunk:
+        return _ell_transpose_chunked(ell, out_width, row_chunk)
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0).reshape(-1)
     cols = ell.cols.reshape(-1)
     vals = ell.vals.reshape(-1)
@@ -46,11 +68,6 @@ def ell_transpose(ell: ELL, out_width: int | None = None) -> ELL:
     order = jnp.argsort(key, stable=True)
     key_s = key[order]
     rank = _rank_within_groups(key_s)
-    if out_width is None:
-        col_counts = jax.ops.segment_sum(
-            valid.astype(jnp.int32), cols, num_segments=n_cols
-        )
-        out_width = max(int(jnp.max(col_counts)), 1)  # host sync
     # +1 trash row: invalid entries scatter there instead of clobbering (0,0)
     t_cols = jnp.zeros((n_cols + 1, out_width), jnp.int32)
     t_vals = jnp.zeros((n_cols + 1, out_width), ell.vals.dtype)

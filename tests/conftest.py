@@ -35,6 +35,15 @@ jax.config.update(
                  "xla_cpu_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+import tempfile  # noqa: E402
+
+# Hermetic RS shape-schedule store: without this, fused-driver tests would
+# record schedules in the user's ~/.cache and REPLAY them on the next suite
+# run, silently changing which code path the tests exercise.
+os.environ.setdefault(
+    "PAT_RS_SCHEDULE_DIR",
+    tempfile.mkdtemp(prefix="pat_rs_sched_tests_"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

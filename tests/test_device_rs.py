@@ -164,3 +164,49 @@ def test_fused_driver_gather_engine_parity(rng, monkeypatch):
     rp = pat.amg_pcg(None, hp, jnp.asarray(b, jnp.float32), tol=1e-6,
                      maxiter=50)
     assert bool(rg.converged) and int(rg.iters) == int(rp.iters)
+
+
+def test_fused_shape_schedule_roundtrip(tmp_path, monkeypatch):
+    """The fused driver's shape-schedule cache: a first build records the
+    per-level static widths; a replay dispatches every program with no
+    intermediate sync and must produce a BITWISE-identical hierarchy; a
+    corrupted schedule must fail verification and fall back to the
+    level-serialized rebuild (still bitwise identical) — stale schedules
+    may cost time, never correctness."""
+    import json
+
+    monkeypatch.setenv("PAT_RS_SCHEDULE_DIR", str(tmp_path))
+    csr = poisson2d(32).to_csr()
+    cfg = AMGConfig(coarsening="rs", smoother="chebyshev", n_coarse_max=64,
+                    interpolation="extended_i", on_device_setup=True)
+
+    def _identical(ha, hb):
+        assert [l.A.n_rows for l in ha.levels] == \
+               [l.A.n_rows for l in hb.levels]
+        for la, lb in zip(ha.levels, hb.levels):
+            np.testing.assert_array_equal(np.asarray(la.A.cols),
+                                          np.asarray(lb.A.cols))
+            np.testing.assert_array_equal(np.asarray(la.A.vals),
+                                          np.asarray(lb.A.vals))
+            if la.P is not None:
+                np.testing.assert_array_equal(np.asarray(la.P.vals),
+                                              np.asarray(lb.P.vals))
+
+    h1 = device_rs_setup(csr, cfg, fused=True)
+    files = list(tmp_path.glob("*.json"))
+    assert len(files) == 1, "schedule not recorded"
+    sched = json.loads(files[0].read_text())
+    assert sched[-1]["last"] and not sched[0]["last"]
+
+    h2 = device_rs_setup(csr, cfg, fused=True)  # scheduled replay
+    _identical(h1, h2)
+
+    sched[0]["nc"] += 1  # corrupt: verification must reject it
+    files[0].write_text(json.dumps(sched))
+    h3 = device_rs_setup(csr, cfg, fused=True)
+    _identical(h1, h3)
+
+    b = np.random.default_rng(0).normal(size=csr.shape[0])
+    res = pat.amg_pcg(None, h2, jnp.asarray(b, jnp.float32), tol=1e-6,
+                      maxiter=50)
+    assert bool(res.converged) and int(res.iters) <= 12
